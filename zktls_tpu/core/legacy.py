@@ -16,7 +16,13 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from . import cbor
-from .types import FilteredResponse, GuestInputResponse
+from .types import (
+    FilteredResponse,
+    GuestInput,
+    GuestInputResponse,
+    Request,
+    RequestInfo,
+)
 
 __all__ = ["LegacyTemplate", "LegacyRequest", "LegacyGuestInput"]
 
@@ -159,4 +165,19 @@ class LegacyGuestInput:
             filtered_responses_begin=[f.begin for f in self.filtered_responses],
             filtered_responses_length=[f.length for f in self.filtered_responses],
             filtered_responses=[f.bytes for f in self.filtered_responses],
+        )
+
+    def to_guest_input(self) -> GuestInput:
+        """Lift the legacy fixture into the current schema: the attested
+        request bytes are the rendered redaction template."""
+        return GuestInput(
+            request=Request(
+                version=1,
+                request_info=RequestInfo(
+                    request=self.request.template.render(),
+                    remote_addr=self.request.url,
+                    server_name=self.request.server_name,
+                ),
+            ),
+            response=self.to_guest_input_response(),
         )

@@ -1,0 +1,61 @@
+"""The guest program: replay → verify → commit journal.
+
+Equivalent of the reference's external zkvm-programs guest main
+(SURVEY.md §3.4): parse GuestInput, replay the TLS session from the tapes,
+verify server identity and response binding, and commit the public journal.
+Runs natively here (no RISC-V emulation); every crypto step it performs is
+recorded as witness events for the STARK chips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..core.tape import parse_time
+from ..core.types import GuestInput
+from .journal import encode_journal
+from .replay import ReplayError, ReplayResult, replay_session
+from .x509 import verify_chain
+
+__all__ = ["GuestOutput", "run_guest"]
+
+
+@dataclass
+class GuestOutput:
+    journal: bytes
+    replay: ReplayResult
+    chain: dict
+
+
+def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
+              ) -> GuestOutput:
+    """Execute the guest semantics.  Raises ReplayError if the recorded
+    session is not a valid, self-consistent TLS session bound to the request.
+    """
+    resp = guest_input.response
+    replay = replay_session(resp)
+    if not replay.all_checks_pass():
+        failed = [k for k, v in replay.checks.items() if not v]
+        raise ReplayError(f"replay checks failed: {failed}")
+
+    server_name = guest_input.request.request_info.server_name
+    sec, _ = parse_time(resp.time)
+    chain = verify_chain(replay.certificate_chain, server_name, sec)
+    if not chain["hostname_match"]:
+        raise ReplayError(f"certificate does not match {server_name!r}")
+    if not chain["signatures"]:
+        raise ReplayError("certificate chain signatures invalid")
+    if require_cert_validity and not chain["validity"]:
+        raise ReplayError("certificate chain not valid at pinned time")
+
+    # the recorded request plaintext must be the request being attested
+    expected_request = guest_input.request.request_info.request
+    if expected_request and replay.request_plaintext != expected_request:
+        raise ReplayError("decrypted request does not match attested request")
+
+    journal = encode_journal(
+        guest_input,
+        response_plaintext=replay.response_plaintext,
+        root_spki_sha256=bytes.fromhex(chain["root_spki_sha256"]),
+    )
+    return GuestOutput(journal=journal, replay=replay, chain=chain)

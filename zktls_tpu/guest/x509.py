@@ -1,0 +1,234 @@
+"""X.509 certificate handling for the guest replay.
+
+Mirrors what rustls-webpki does inside the reference guest
+(SURVEY.md §3.4: cert-chain verify with RSA/ECDSA/Ed25519 at the pinned
+clock): structure parsing is delegated to the `cryptography` package, but
+every signature check runs through this framework's own RSA/ECDSA/Ed25519
+verifiers — those are the computations the AIR chips prove, so the witness
+path must own them.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+
+from .crypto.ec import P256, P384, ecdsa_verify
+from .crypto.ed25519 import ed25519_verify
+from .crypto.rsa import rsa_pkcs1v15_verify, rsa_pss_verify
+
+__all__ = ["Certificate", "verify_chain", "SignatureScheme"]
+
+
+class SignatureScheme:
+    """TLS SignatureScheme registry values (RFC 8446 §4.2.3)."""
+
+    RSA_PKCS1_SHA256 = 0x0401
+    RSA_PKCS1_SHA384 = 0x0501
+    RSA_PKCS1_SHA512 = 0x0601
+    ECDSA_P256_SHA256 = 0x0403
+    ECDSA_P384_SHA384 = 0x0503
+    RSA_PSS_SHA256 = 0x0804
+    RSA_PSS_SHA384 = 0x0805
+    RSA_PSS_SHA512 = 0x0806
+    ED25519 = 0x0807
+
+
+def _hash(name: str, data: bytes) -> bytes:
+    import hashlib
+
+    return getattr(hashlib, name)(data).digest()
+
+
+def _decode_ecdsa_der_sig(sig: bytes) -> tuple[int, int]:
+    """Minimal DER SEQUENCE{INTEGER r, INTEGER s} decoder."""
+    if sig[0] != 0x30:
+        raise ValueError("bad ECDSA signature DER")
+    pos = 2
+    if sig[1] & 0x80:
+        pos += sig[1] & 0x7F
+
+    def read_int(p: int) -> tuple[int, int]:
+        if sig[p] != 0x02:
+            raise ValueError("bad DER integer")
+        ln = sig[p + 1]
+        return int.from_bytes(sig[p + 2 : p + 2 + ln], "big"), p + 2 + ln
+
+    r, pos = read_int(pos)
+    s, _ = read_int(pos)
+    return r, s
+
+
+@dataclass
+class Certificate:
+    der: bytes
+    _cert: object  # cryptography x509 object
+
+    @classmethod
+    def parse(cls, der: bytes) -> "Certificate":
+        from cryptography import x509
+
+        return cls(der=der, _cert=x509.load_der_x509_certificate(der))
+
+    # ------------------------------------------------------------------
+    # public key extraction
+    # ------------------------------------------------------------------
+
+    def _public_numbers(self):
+        return self._cert.public_key()
+
+    def public_key_verify(self, scheme: int, data: bytes, sig: bytes) -> bool:
+        """Verify `sig` over `data` under this certificate's public key with
+        the given TLS SignatureScheme (used for ServerKeyExchange /
+        CertificateVerify signatures)."""
+        from cryptography.hazmat.primitives.asymmetric import ec as oec
+        from cryptography.hazmat.primitives.asymmetric import ed25519 as oed
+        from cryptography.hazmat.primitives.asymmetric import rsa as orsa
+
+        key = self._cert.public_key()
+        S = SignatureScheme
+        if isinstance(key, orsa.RSAPublicKey):
+            nums = key.public_numbers()
+            if scheme == S.RSA_PKCS1_SHA256:
+                return rsa_pkcs1v15_verify(nums.n, nums.e, "sha256",
+                                           _hash("sha256", data), sig)
+            if scheme == S.RSA_PKCS1_SHA384:
+                return rsa_pkcs1v15_verify(nums.n, nums.e, "sha384",
+                                           _hash("sha384", data), sig)
+            if scheme == S.RSA_PKCS1_SHA512:
+                return rsa_pkcs1v15_verify(nums.n, nums.e, "sha512",
+                                           _hash("sha512", data), sig)
+            if scheme == S.RSA_PSS_SHA256:
+                return rsa_pss_verify(nums.n, nums.e, "sha256",
+                                      _hash("sha256", data), sig)
+            if scheme == S.RSA_PSS_SHA384:
+                return rsa_pss_verify(nums.n, nums.e, "sha384",
+                                      _hash("sha384", data), sig)
+            if scheme == S.RSA_PSS_SHA512:
+                return rsa_pss_verify(nums.n, nums.e, "sha512",
+                                      _hash("sha512", data), sig)
+            return False
+        if isinstance(key, oec.EllipticCurvePublicKey):
+            nums = key.public_numbers()
+            r, s = _decode_ecdsa_der_sig(sig)
+            if scheme == S.ECDSA_P256_SHA256 and key.curve.name == "secp256r1":
+                return ecdsa_verify(P256, (nums.x, nums.y),
+                                    _hash("sha256", data), r, s)
+            if scheme == S.ECDSA_P384_SHA384 and key.curve.name == "secp384r1":
+                return ecdsa_verify(P384, (nums.x, nums.y),
+                                    _hash("sha384", data), r, s)
+            return False
+        if isinstance(key, oed.Ed25519PublicKey):
+            from cryptography.hazmat.primitives import serialization
+
+            raw = key.public_bytes(serialization.Encoding.Raw,
+                                   serialization.PublicFormat.Raw)
+            return scheme == S.ED25519 and ed25519_verify(raw, data, sig)
+        return False
+
+    # ------------------------------------------------------------------
+    # issuer signature over this certificate
+    # ------------------------------------------------------------------
+
+    def verify_signed_by(self, issuer: "Certificate") -> bool:
+        """Check this certificate's signature under the issuer's key, running
+        the math through the framework's own verifiers."""
+        from cryptography.hazmat.primitives.asymmetric import ec as oec
+        from cryptography.hazmat.primitives.asymmetric import ed25519 as oed
+        from cryptography.hazmat.primitives.asymmetric import rsa as orsa
+
+        tbs = self._cert.tbs_certificate_bytes
+        sig = self._cert.signature
+        oid = self._cert.signature_algorithm_oid._name
+        key = issuer._cert.public_key()
+        hash_for = {
+            "sha256WithRSAEncryption": "sha256",
+            "sha384WithRSAEncryption": "sha384",
+            "sha512WithRSAEncryption": "sha512",
+            "ecdsa-with-SHA256": "sha256",
+            "ecdsa-with-SHA384": "sha384",
+        }
+        if isinstance(key, orsa.RSAPublicKey):
+            hname = hash_for.get(oid)
+            if hname is None:
+                return False
+            nums = key.public_numbers()
+            return rsa_pkcs1v15_verify(nums.n, nums.e, hname,
+                                       _hash(hname, tbs), sig)
+        if isinstance(key, oec.EllipticCurvePublicKey):
+            hname = hash_for.get(oid)
+            if hname is None:
+                return False
+            nums = key.public_numbers()
+            curve = P256 if key.curve.name == "secp256r1" else P384
+            r, s = _decode_ecdsa_der_sig(sig)
+            return ecdsa_verify(curve, (nums.x, nums.y), _hash(hname, tbs), r, s)
+        if isinstance(key, oed.Ed25519PublicKey):
+            from cryptography.hazmat.primitives import serialization
+
+            raw = key.public_bytes(serialization.Encoding.Raw,
+                                   serialization.PublicFormat.Raw)
+            return ed25519_verify(raw, tbs, sig)
+        return False
+
+    # ------------------------------------------------------------------
+    # identity + validity
+    # ------------------------------------------------------------------
+
+    def matches_hostname(self, hostname: str) -> bool:
+        """DNS-ID matching against subjectAltName (wildcard left-label only,
+        as rustls-webpki does)."""
+        from cryptography import x509
+
+        try:
+            san = self._cert.extensions.get_extension_for_class(
+                x509.SubjectAlternativeName
+            ).value
+            names = san.get_values_for_type(x509.DNSName)
+        except x509.ExtensionNotFound:
+            return False
+        host = hostname.lower().rstrip(".")
+        for name in names:
+            name = name.lower()
+            if name == host:
+                return True
+            if name.startswith("*."):
+                suffix = name[1:]  # ".example.com"
+                if host.endswith(suffix) and "." not in host[: -len(suffix)]:
+                    return True
+        return False
+
+    def valid_at(self, unix_seconds: int) -> bool:
+        t = datetime.datetime.fromtimestamp(unix_seconds, datetime.timezone.utc)
+        nb = self._cert.not_valid_before_utc
+        na = self._cert.not_valid_after_utc
+        return nb <= t <= na
+
+
+def verify_chain(der_chain: list[bytes], hostname: str, unix_seconds: int) -> dict:
+    """Verify the presented chain: each cert signed by its successor,
+    validity windows at the pinned clock, and leaf DNS identity.
+
+    Trust-anchor policy: the last presented cert's issuer must be checked
+    against a root store by the caller (the reference embeds webpki-roots in
+    the guest; this environment has no network to refresh one, so the chain
+    root subject + SPKI hash are surfaced for the journal instead)."""
+    certs = [Certificate.parse(d) for d in der_chain]
+    result = {
+        "hostname_match": certs[0].matches_hostname(hostname),
+        "validity": all(c.valid_at(unix_seconds) for c in certs),
+        "signatures": all(
+            certs[i].verify_signed_by(certs[i + 1]) for i in range(len(certs) - 1)
+        ),
+    }
+    import hashlib
+
+    from cryptography.hazmat.primitives import serialization
+
+    result["root_spki_sha256"] = hashlib.sha256(
+        certs[-1]._cert.public_key().public_bytes(
+            serialization.Encoding.DER,
+            serialization.PublicFormat.SubjectPublicKeyInfo,
+        )
+    ).hexdigest()
+    return result

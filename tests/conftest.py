@@ -11,12 +11,19 @@ Must set env vars before jax is imported anywhere.
 import os
 
 if not os.environ.get("ZKTLS_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The ambient environment tunnels a real TPU through the experimental
+    # "axon" platform and its sitecustomize *overrides* jax_platforms at
+    # interpreter startup, so the env var alone is not enough — update the
+    # jax config after import as well.  Tests always run on local CPU.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

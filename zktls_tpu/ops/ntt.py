@@ -1,0 +1,148 @@
+"""Number-theoretic transform (radix-2) and low-degree extension over
+Baby-Bear, batched over trace columns — the LDE engine of the prover.
+
+Replaces the reference's NTT/LDE hot loops (risc0-sys CUDA NTT kernels and
+Plonky3 p3-dft, SURVEY.md §2.2).  Design:
+
+  * data layout (n, C): the transform runs along axis 0 simultaneously for
+    all C columns — the VPU vectorizes across columns, XLA fuses the
+    butterfly arithmetic;
+  * one bit-reversal gather up front (static permutation baked at trace
+    time), then log2(n) DIT stages expressed as reshapes + slices — no
+    dynamic indexing inside the loop, everything static for XLA;
+  * all values in Montgomery form; twiddle tables are precomputed on host
+    (numpy, exact) per size and cached.
+
+The multi-chip sharded variant (butterfly all-to-all over ICI) lives in
+zktls_tpu.parallel.ntt.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import babybear as bb
+from .field_ref import P, two_adic_root
+
+__all__ = ["ntt", "intt", "coset_lde", "bitrev_indices", "eval_domain"]
+
+
+@lru_cache(maxsize=None)
+def bitrev_indices(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _twiddles(log_n: int, inverse: bool) -> tuple[np.ndarray, ...]:
+    """Per-stage twiddle tables, Montgomery form.  Stage s (half-block m=2^s)
+    uses w_{2m}^j for j in [0, m)."""
+    root = two_adic_root(log_n)
+    if inverse:
+        root = pow(root, P - 2, P)
+    tables = []
+    for s in range(log_n):
+        m = 1 << s
+        w_m = pow(root, 1 << (log_n - 1 - s), P)  # order 2m
+        tw = np.empty(m, dtype=np.uint64)
+        acc = 1
+        for j in range(m):
+            tw[j] = acc
+            acc = acc * w_m % P
+        tables.append(bb.np_to_mont(tw.astype(np.uint32)))
+    return tuple(tables)
+
+
+@lru_cache(maxsize=None)
+def _ntt_fn(log_n: int, inverse: bool):
+    """Build the jitted size-2^log_n transform (cached; jax.jit re-traces per
+    column count automatically)."""
+    n = 1 << log_n
+    rev = bitrev_indices(log_n)
+    tables = _twiddles(log_n, inverse)
+    n_inv_m = int(bb.np_to_mont(
+        np.array([pow(n, P - 2, P)], dtype=np.uint32))[0])
+
+    @jax.jit
+    def f(x):
+        cols = x.shape[1]
+        x = x[rev]
+        for s in range(log_n):
+            m = 1 << s
+            tw = jnp.asarray(tables[s])[None, :, None]  # (1, m, 1)
+            v = x.reshape(n // (2 * m), 2, m, cols)
+            a = v[:, 0]
+            b = bb.mul(v[:, 1], tw)
+            x = jnp.stack([bb.add(a, b), bb.sub(a, b)], axis=1).reshape(n, cols)
+        if inverse:
+            x = bb.mul(x, jnp.full_like(x, n_inv_m))
+        return x
+
+    return f
+
+
+def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """In-order -> in-order NTT along axis 0; x is (n,) or (n, C) in
+    Montgomery form.  inverse=True includes the 1/n scaling."""
+    n = x.shape[0]
+    log_n = n.bit_length() - 1
+    if 1 << log_n != n:
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    out = _ntt_fn(log_n, inverse)(x)
+    return out[:, 0] if squeeze else out
+
+
+def intt(x: jnp.ndarray) -> jnp.ndarray:
+    return ntt(x, inverse=True)
+
+
+@lru_cache(maxsize=None)
+def _coset_powers(log_n: int, shift: int) -> np.ndarray:
+    n = 1 << log_n
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * shift % P
+    return bb.np_to_mont(out.astype(np.uint32))
+
+
+def coset_lde(values: jnp.ndarray, log_blowup: int, shift: int) -> jnp.ndarray:
+    """Low-degree extension: interpret `values` (n, C) as evaluations on the
+    size-n subgroup, return evaluations on the coset shift·H of the size
+    n·2^log_blowup subgroup.  Montgomery in/out."""
+    n = values.shape[0]
+    log_n = n.bit_length() - 1
+    coeffs = intt(values)
+    # scale coefficient k by shift^k, zero-pad to the extended size
+    scale = jnp.asarray(_coset_powers(log_n, shift))
+    if coeffs.ndim == 2:
+        scale = scale[:, None]
+    coeffs = bb.mul(coeffs, scale)
+    pad_shape = ((1 << log_blowup) * n - n,) + coeffs.shape[1:]
+    coeffs = jnp.concatenate([coeffs, jnp.zeros(pad_shape, jnp.uint32)], axis=0)
+    return ntt(coeffs)
+
+
+@lru_cache(maxsize=None)
+def eval_domain(log_n: int, shift: int = 1) -> np.ndarray:
+    """The points shift·w^i of the evaluation domain, plain form (host)."""
+    n = 1 << log_n
+    w = two_adic_root(log_n)
+    out = np.empty(n, dtype=np.uint32)
+    acc = shift % P
+    for i in range(n):
+        out[i] = acc
+        acc = acc * w % P
+    return out

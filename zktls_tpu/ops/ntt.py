@@ -135,6 +135,34 @@ def coset_lde(values: jnp.ndarray, log_blowup: int, shift: int) -> jnp.ndarray:
     return ntt(coeffs)
 
 
+def coeffs_to_coset_evals(coeffs: jnp.ndarray, log_blowup: int,
+                          shift: int) -> jnp.ndarray:
+    """Coefficients (n, C) of a degree-<n polynomial -> evaluations on the
+    coset shift·H of the size n·2^log_blowup subgroup.  Montgomery in/out."""
+    n = coeffs.shape[0]
+    log_n = n.bit_length() - 1
+    scale = jnp.asarray(_coset_powers(log_n, shift))
+    if coeffs.ndim == 2:
+        scale = scale[:, None]
+    coeffs = bb.mul(coeffs, scale)
+    pad_shape = ((1 << log_blowup) * n - n,) + coeffs.shape[1:]
+    coeffs = jnp.concatenate([coeffs, jnp.zeros(pad_shape, jnp.uint32)], axis=0)
+    return ntt(coeffs)
+
+
+def coset_coeffs(values: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Interpolate values (N, C) on the coset shift·H_N back to coefficients
+    (undoes the coset scaling).  Montgomery in/out."""
+    n = values.shape[0]
+    log_n = n.bit_length() - 1
+    coeffs = intt(values)
+    shift_inv = pow(shift, P - 2, P)
+    unscale = jnp.asarray(_coset_powers(log_n, shift_inv))
+    if coeffs.ndim == 2:
+        unscale = unscale[:, None]
+    return bb.mul(coeffs, unscale)
+
+
 @lru_cache(maxsize=None)
 def eval_domain(log_n: int, shift: int = 1) -> np.ndarray:
     """The points shift·w^i of the evaluation domain, plain form (host)."""

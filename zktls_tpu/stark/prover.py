@@ -1,0 +1,345 @@
+"""The uni-STARK prover: trace -> proof, with all field-parallel work on the
+accelerator.
+
+Pipeline (replacing the reference's per-shard core STARK,
+SURVEY.md §3.2/§3.3 "trace gen → Merkle commit → quotient → FRI"):
+
+  1. LDE-commit the trace on the coset shift·H_N (Poseidon2 Merkle);
+  2. fold all AIR constraints with powers of α (sampled by the Poseidon2
+     duplex challenger) and divide by Z_H pointwise → quotient;
+  3. split the quotient into `blowup` degree-<n chunks, commit;
+  4. open everything at the out-of-domain point ζ (and g·ζ for next-row
+     values) via coefficient-form evaluation;
+  5. build the DEEP composition polynomial and run FRI (fold-by-2 with
+     pair-leaf Merkle commitments per layer) down to a small final layer;
+  6. grind the optional proof-of-work and answer Fiat-Shamir queries with
+     Merkle openings.
+
+Every array step (NTT, hashing, constraint fold, DEEP, FRI folds) is
+batched JAX on device; only the transcript and proof assembly run on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import babybear as bb
+from ..ops import ext as ex
+from ..ops.field_ref import Fp4, P, batch_inverse, two_adic_root
+from ..ops.merkle import MerkleTree
+from ..ops.ntt import (
+    coeffs_to_coset_evals,
+    coset_coeffs,
+    coset_lde,
+    eval_domain,
+    intt,
+)
+from .air import Air
+from .challenger import Challenger
+from .config import DEFAULT_CONFIG, StarkConfig, selector_arrays
+from .proof import FriStep, QueryProof, StarkProof
+
+__all__ = ["prove"]
+
+
+def _count_constraints(air: Air, public_values: list[int]) -> int:
+    """Dry-run the AIR on scalar zeros to learn the constraint count."""
+    from .air import AirBuilder
+
+    zero = Fp4(0)
+    counter = [0]
+
+    def fold(expr):
+        counter[0] += 1
+
+    builder = AirBuilder(
+        local=[zero] * air.width, next=[zero] * air.width,
+        public=[Fp4(int(v)) for v in public_values],
+        is_first_row=zero, is_last_row=zero, is_transition=zero, _fold=fold,
+    )
+    air.eval(builder)
+    return counter[0]
+
+
+def _ext_evals_at(coeffs: jnp.ndarray, zpows: jnp.ndarray) -> np.ndarray:
+    """Evaluate base-coefficient polynomials at an extension point.
+    coeffs (n, C) Montgomery, zpows (n, 4) Montgomery powers of the point.
+    Returns (C, 4) plain-form numpy."""
+    prod = bb.mul(coeffs[:, :, None], zpows[:, None, :])  # (n, C, 4)
+    out = bb.sum_mod(prod, axis=0)  # (C, 4)
+    return bb.np_from_mont(np.asarray(out))
+
+
+def _zeta_powers(zeta: Fp4, n: int) -> jnp.ndarray:
+    pows = np.empty((n, 4), dtype=np.uint32)
+    acc = Fp4(1)
+    for i in range(n):
+        pows[i] = acc.c
+        acc = acc * zeta
+    return jnp.asarray(bb.np_to_mont(pows))
+
+
+def _pair_rows(values: jnp.ndarray) -> jnp.ndarray:
+    """FRI layer values (N, 4) -> Merkle rows (N/2, 8): leaf j holds
+    (f[j], f[j+N/2])."""
+    half = values.shape[0] // 2
+    return jnp.concatenate([values[:half], values[half:]], axis=1)
+
+
+def _fold_layer(values: jnp.ndarray, beta: Fp4, inv_2x: np.ndarray
+                ) -> jnp.ndarray:
+    """One FRI fold: f'(x²) = (f(x)+f(−x))/2 + β·(f(x)−f(−x))/(2x)."""
+    half = values.shape[0] // 2
+    a, b = values[:half], values[half:]
+    inv2 = pow(2, P - 2, P)
+    inv2_m = jnp.uint32(int(bb.np_to_mont(np.array([inv2], np.uint32))[0]))
+    even = ex.ext_scale(ex.ext_add(a, b), jnp.broadcast_to(inv2_m, (half,)))
+    odd = ex.ext_scale(ex.ext_sub(a, b), jnp.asarray(inv_2x))
+    beta_arr = jnp.broadcast_to(jnp.asarray(ex.from_fp4(beta)), (half, 4))
+    return ex.ext_add(even, ex.ext_mul(beta_arr, odd))
+
+
+def _inv_2x(log_size: int, shift: int) -> np.ndarray:
+    """Montgomery (N/2,) array of 1/(2·x_j) for the layer domain."""
+    xs = eval_domain(log_size, shift)[: (1 << log_size) // 2]
+    invs = batch_inverse([2 * int(x) % P for x in xs])
+    return bb.np_to_mont(np.array(invs, dtype=np.uint32))
+
+
+def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
+          config: StarkConfig = DEFAULT_CONFIG) -> StarkProof:
+    public_values = [int(v) % P for v in (public_values or [])]
+    n, w = trace.shape
+    log_n = n.bit_length() - 1
+    if 1 << log_n != n:
+        raise ValueError("trace height must be a power of two")
+    if w != air.width:
+        raise ValueError(f"trace width {w} != air width {air.width}")
+    if air.max_constraint_degree + 1 > config.blowup:
+        raise ValueError(
+            f"constraint degree {air.max_constraint_degree} needs blowup "
+            f"> {air.max_constraint_degree}"
+        )
+    N = n << config.log_blowup
+    s = config.shift
+    g = two_adic_root(log_n)
+
+    # 1. trace LDE + commit ------------------------------------------------
+    trace_m = bb.to_mont(jnp.asarray(trace))
+    lde = coset_lde(trace_m, config.log_blowup, s)          # (N, w)
+    trace_tree = MerkleTree(lde)
+    trace_root = [int(x) for x in trace_tree.root]
+
+    ch = Challenger()
+    ch.observe_bytes(air.name.encode())
+    ch.observe(log_n)
+    ch.observe_many(public_values)
+    ch.observe_many(trace_root)
+
+    # 2. quotient ----------------------------------------------------------
+    alpha = ch.sample_ext()
+    n_constraints = _count_constraints(air, public_values)
+    apow = np.empty((max(n_constraints, 1), 4), dtype=np.uint32)
+    acc = Fp4(1)
+    for i in range(n_constraints):
+        apow[i] = acc.c
+        acc = acc * alpha
+    apow_m = jnp.asarray(bb.np_to_mont(apow))
+
+    sels_np = selector_arrays(log_n, config.log_blowup, s)
+    sels_m = {
+        k: bb.to_mont(jnp.asarray(sels_np[k]))
+        for k in ("is_first_row", "is_last_row", "is_transition")
+    }
+    inv_zh_m = bb.to_mont(jnp.asarray(sels_np["inv_z_h"]))
+
+    local_cols = [lde[:, j] for j in range(w)]
+    next_lde = jnp.roll(lde, -config.blowup, axis=0)
+    next_cols = [next_lde[:, j] for j in range(w)]
+
+    folded_holder = {}
+
+    def fold_with_alpha_array():
+        idx = [0]
+        acc_arr = [ex.ext_zeros((N,))]
+
+        def fold(expr):
+            a = jnp.broadcast_to(apow_m[idx[0]][None, :], (N, 4))
+            acc_arr[0] = ex.ext_add(acc_arr[0], ex.ext_scale(a, expr.arr))
+            idx[0] += 1
+
+        from .air import AirBuilder, BBCol
+
+        pub_m = [BBCol.const(v, (N,)) for v in public_values]
+        builder = AirBuilder(
+            local=[BBCol(c) for c in local_cols],
+            next=[BBCol(c) for c in next_cols],
+            public=pub_m,
+            is_first_row=BBCol(sels_m["is_first_row"]),
+            is_last_row=BBCol(sels_m["is_last_row"]),
+            is_transition=BBCol(sels_m["is_transition"]),
+            _fold=fold,
+        )
+        air.eval(builder)
+        folded_holder["v"] = acc_arr[0]
+
+    fold_with_alpha_array()
+    quotient_vals = ex.ext_scale(folded_holder["v"], inv_zh_m)  # (N, 4)
+
+    # 3. split + commit quotient ------------------------------------------
+    q_coeffs = coset_coeffs(quotient_vals, s)                # (N, 4)
+    chunks = [q_coeffs[k * n : (k + 1) * n] for k in range(config.blowup)]
+    q_cols = jnp.concatenate(
+        [coeffs_to_coset_evals(c, config.log_blowup, s) for c in chunks],
+        axis=1,
+    )  # (N, blowup*4)
+    quotient_tree = MerkleTree(q_cols)
+    quotient_root = [int(x) for x in quotient_tree.root]
+    ch.observe_many(quotient_root)
+
+    # 4. out-of-domain openings -------------------------------------------
+    zeta = ch.sample_ext()
+    g_zeta = zeta * g
+    zpows = _zeta_powers(zeta, n)
+    gzpows = _zeta_powers(g_zeta, n)
+    trace_coeffs = intt(trace_m)                              # (n, w)
+    tl = _ext_evals_at(trace_coeffs, zpows)                   # (w, 4)
+    tn = _ext_evals_at(trace_coeffs, gzpows)
+    qe = np.concatenate(
+        [_ext_evals_at(c, zpows) for c in chunks], axis=0
+    )  # (blowup*4, 4)
+    trace_local_evals = [Fp4(*[int(x) for x in row]) for row in tl]
+    trace_next_evals = [Fp4(*[int(x) for x in row]) for row in tn]
+    quotient_evals = [Fp4(*[int(x) for x in row]) for row in qe]
+    for v in trace_local_evals + trace_next_evals + quotient_evals:
+        ch.observe_ext(v)
+
+    # 5. DEEP composition --------------------------------------------------
+    beta = ch.sample_ext()
+    n_terms = 2 * w + q_cols.shape[1]
+    bpow = np.empty((n_terms, 4), dtype=np.uint32)
+    acc = Fp4(1)
+    for i in range(n_terms):
+        bpow[i] = acc.c
+        acc = acc * beta
+    bpow_m = jnp.asarray(bb.np_to_mont(bpow))
+
+    x_m = bb.to_mont(jnp.asarray(sels_np["x"]))               # (N,)
+    x_ext = ex.ext_from_base(x_m)                             # (N, 4)
+    zeta_arr = jnp.broadcast_to(jnp.asarray(ex.from_fp4(zeta)), (N, 4))
+    gzeta_arr = jnp.broadcast_to(jnp.asarray(ex.from_fp4(g_zeta)), (N, 4))
+    inv_x_zeta = ex.ext_inv(ex.ext_sub(x_ext, zeta_arr))
+    inv_x_gzeta = ex.ext_inv(ex.ext_sub(x_ext, gzeta_arr))
+
+    tl_m = jnp.asarray(bb.np_to_mont(tl))                     # (w, 4)
+    tn_m = jnp.asarray(bb.np_to_mont(tn))
+    qe_m = jnp.asarray(bb.np_to_mont(qe))
+
+    numer_z = ex.ext_zeros((N,))
+    for j in range(w):
+        diff = ex.ext_sub(ex.ext_from_base(lde[:, j]),
+                          jnp.broadcast_to(tl_m[j][None, :], (N, 4)))
+        numer_z = ex.ext_add(
+            numer_z,
+            ex.ext_mul(jnp.broadcast_to(bpow_m[j][None, :], (N, 4)), diff),
+        )
+    for c in range(q_cols.shape[1]):
+        diff = ex.ext_sub(ex.ext_from_base(q_cols[:, c]),
+                          jnp.broadcast_to(qe_m[c][None, :], (N, 4)))
+        numer_z = ex.ext_add(
+            numer_z,
+            ex.ext_mul(
+                jnp.broadcast_to(bpow_m[2 * w + c][None, :], (N, 4)), diff),
+        )
+    numer_gz = ex.ext_zeros((N,))
+    for j in range(w):
+        diff = ex.ext_sub(ex.ext_from_base(lde[:, j]),
+                          jnp.broadcast_to(tn_m[j][None, :], (N, 4)))
+        numer_gz = ex.ext_add(
+            numer_gz,
+            ex.ext_mul(jnp.broadcast_to(bpow_m[w + j][None, :], (N, 4)), diff),
+        )
+    deep = ex.ext_add(
+        ex.ext_mul(numer_z, inv_x_zeta), ex.ext_mul(numer_gz, inv_x_gzeta)
+    )  # (N, 4)
+
+    # 6. FRI ---------------------------------------------------------------
+    fri_roots: list[list[int]] = []
+    fri_trees: list[MerkleTree] = []
+    fri_layers_host: list[np.ndarray] = []   # plain-form (size, 4)
+    cur = deep
+    cur_shift = s
+    cur_log = log_n + config.log_blowup
+    while (1 << cur_log) > config.fri_final_size:
+        rows = _pair_rows(cur)
+        tree = MerkleTree(rows)
+        root = [int(x) for x in tree.root]
+        fri_trees.append(tree)
+        fri_roots.append(root)
+        fri_layers_host.append(bb.np_from_mont(np.asarray(cur)))
+        ch.observe_many(root)
+        beta_l = ch.sample_ext()
+        cur = _fold_layer(cur, beta_l, _inv_2x(cur_log, cur_shift))
+        cur_shift = cur_shift * cur_shift % P
+        cur_log -= 1
+    final_plain = bb.np_from_mont(np.asarray(cur))
+    fri_final = [Fp4(*[int(x) for x in row]) for row in final_plain]
+    for v in fri_final:
+        ch.observe_ext(v)
+
+    # 7. grinding + queries ------------------------------------------------
+    pow_witness = 0
+    if config.pow_bits:
+        while True:
+            c2 = ch.clone()
+            c2.observe(pow_witness)
+            if c2.sample_bits(config.pow_bits) == 0:
+                break
+            pow_witness += 1
+    ch.check_witness(config.pow_bits, pow_witness)
+
+    lde_plain = bb.np_from_mont(np.asarray(lde))
+    q_cols_plain = bb.np_from_mont(np.asarray(q_cols))
+    log_N = log_n + config.log_blowup
+    queries = []
+    for _ in range(config.num_queries):
+        q = ch.sample_bits(log_N)
+        steps = []
+        qq = q
+        for ell, tree in enumerate(fri_trees):
+            size = 1 << (log_N - ell)
+            half = size // 2
+            j = qq % half
+            vals = fri_layers_host[ell]
+            pair = (
+                Fp4(*[int(x) for x in vals[j]]),
+                Fp4(*[int(x) for x in vals[j + half]]),
+            )
+            steps.append(FriStep(pair=pair, path=[
+                [int(x) for x in d] for d in tree.open(j)
+            ]))
+            qq = j
+        queries.append(QueryProof(
+            index=q,
+            trace_row=[int(x) for x in lde_plain[q]],
+            trace_path=[[int(x) for x in d] for d in trace_tree.open(q)],
+            quotient_row=[int(x) for x in q_cols_plain[q]],
+            quotient_path=[[int(x) for x in d] for d in quotient_tree.open(q)],
+            fri_steps=steps,
+        ))
+
+    return StarkProof(
+        air_name=air.name,
+        log_n=log_n,
+        public_values=public_values,
+        trace_root=trace_root,
+        quotient_root=quotient_root,
+        trace_local_evals=trace_local_evals,
+        trace_next_evals=trace_next_evals,
+        quotient_evals=quotient_evals,
+        fri_roots=fri_roots,
+        fri_final=fri_final,
+        pow_witness=pow_witness,
+        queries=queries,
+    )

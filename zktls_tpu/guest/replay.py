@@ -25,7 +25,7 @@ from .crypto.gcm import AESGCM, GCMEvent
 from .crypto.chacha import ChaCha20Poly1305
 from .crypto.prf import hmac_sha256, prf_sha256
 from .crypto.sha256 import SHA256Recorder
-from .crypto.x25519 import x25519_base
+from .crypto.x25519 import x25519, x25519_base
 from .tls import (
     CIPHER_SUITES,
     CertificateChain,
@@ -211,7 +211,6 @@ def _replay_tls12(
 
     chain = CertificateChain.parse(cert_msg.body)
     skx = ServerKeyExchange.parse(skx_msg.body)
-    curve = _curve_for(skx.curve_id)
 
     # --- client key exchange ---
     ckx_record = client_records[1]
@@ -219,18 +218,27 @@ def _replay_tls12(
     if ckx_msgs[0].typ != HandshakeType.CLIENT_KEY_EXCHANGE:
         raise ReplayError("second client record is not ClientKeyExchange")
     ckx_msg = ckx_msgs[0]
-    # ECDHE scalar is the next tape draw
-    scalar_bytes = tape.draw(curve.byte_len)
-    scalar = int.from_bytes(scalar_bytes, "big")
-    our_pub = curve.mul(scalar, curve.g)
     ckx_point = ckx_msg.body[1 : 1 + ckx_msg.body[0]]
-    checks["ckx_pubkey_from_tape"] = curve.encode_point(our_pub) == ckx_point
-
-    server_point = curve.decode_point(skx.public_point)
-    shared = curve.mul(scalar, server_point)
-    if shared is None:
-        raise ReplayError("ECDHE produced point at infinity")
-    premaster = shared[0].to_bytes(curve.byte_len, "big")
+    # ECDHE private scalar is the next tape draw (size per negotiated group)
+    if skx.curve_id == 29:  # x25519 (RFC 7748)
+        priv = tape.draw(32)
+        checks["ckx_pubkey_from_tape"] = x25519_base(priv) == ckx_point
+        premaster = x25519(priv, skx.public_point)
+        curve_name = "x25519"
+    else:
+        curve = _curve_for(skx.curve_id)
+        scalar_bytes = tape.draw(curve.byte_len)
+        scalar = int.from_bytes(scalar_bytes, "big")
+        our_pub = curve.mul(scalar, curve.g)
+        checks["ckx_pubkey_from_tape"] = (
+            curve.encode_point(our_pub) == ckx_point
+        )
+        server_point = curve.decode_point(skx.public_point)
+        shared = curve.mul(scalar, server_point)
+        if shared is None:
+            raise ReplayError("ECDHE produced point at infinity")
+        premaster = shared[0].to_bytes(curve.byte_len, "big")
+        curve_name = curve.name
 
     # --- extended master secret (RFC 7627): session_hash over transcript
     # through ClientKeyExchange ---
@@ -369,7 +377,7 @@ def _replay_tls12(
     return ReplayResult(
         version=0x0303,
         cipher_suite=suite,
-        curve_name=curve.name,
+        curve_name=curve_name,
         client_random=ch.client_random,
         server_random=sh.server_random,
         premaster_secret=premaster,

@@ -77,7 +77,10 @@ class AirBuilder:
 
     All members are algebra values (BBCol on the prover, Fp4 on the
     verifier); `assert_zero` folds α^i · expr into the accumulator via the
-    injected fold function.
+    injected fold function.  `periodic` holds the evaluations of the AIR's
+    declared periodic columns (period-m patterns like SHA-256 round
+    constants — untrusted commitment is unnecessary because the verifier
+    evaluates the degree-<m interpolant itself at ζ^{n/m}).
     """
 
     local: Sequence[Any]
@@ -87,6 +90,7 @@ class AirBuilder:
     is_last_row: Any
     is_transition: Any
     _fold: Callable[[Any], None]
+    periodic: Sequence[Any] = ()
     constraint_count: int = 0
 
     def assert_zero(self, expr) -> None:
@@ -130,43 +134,16 @@ class Air:
     def eval(self, builder: AirBuilder) -> None:  # pragma: no cover
         raise NotImplementedError
 
-    # ------------------------------------------------------------------
-
-    def fold_constraints_device(self, local_cols, next_cols, public,
-                                sels, alpha: Fp4):
-        """Prover-side: evaluate all constraints vectorized over the domain
-        and fold with powers of α.  Returns ((N,4) ext array, n_constraints).
-
-        local_cols/next_cols: lists of (N,) Montgomery arrays.
-        sels: dict with is_first_row/is_last_row/is_transition (N,) arrays.
-        """
-        n_points = local_cols[0].shape[0]
-        acc = [ex.ext_zeros((n_points,))]
-        alpha_pow = [Fp4(1)]
-
-        def fold(expr: BBCol):
-            a_arr = ex.ext_const(alpha_pow[0], ())
-            term = ex.ext_scale(
-                jnp.broadcast_to(a_arr, (n_points, 4)), expr.arr
-            )
-            acc[0] = ex.ext_add(acc[0], term)
-            alpha_pow[0] = alpha_pow[0] * alpha
-
-        builder = AirBuilder(
-            local=[BBCol(c) for c in local_cols],
-            next=[BBCol(c) for c in next_cols],
-            public=[BBCol.const(int(v), (n_points,)) for v in public],
-            is_first_row=BBCol(sels["is_first_row"]),
-            is_last_row=BBCol(sels["is_last_row"]),
-            is_transition=BBCol(sels["is_transition"]),
-            _fold=fold,
-        )
-        self.eval(builder)
-        return acc[0], builder.constraint_count
+    def periodic_columns(self) -> list:
+        """Fixed periodic column patterns: a list of numpy uint32 arrays,
+        each a power-of-two length dividing every trace height this AIR is
+        used with.  Available to eval() as builder.periodic."""
+        return []
 
     def fold_constraints_scalar(self, local: Sequence[Fp4], nxt: Sequence[Fp4],
                                 public: Sequence[int], sels: dict,
-                                alpha: Fp4) -> Fp4:
+                                alpha: Fp4, periodic: Sequence[Fp4] = (),
+                                ) -> Fp4:
         """Verifier-side: same fold at the out-of-domain point ζ."""
         acc = [Fp4(0)]
         alpha_pow = [Fp4(1)]
@@ -185,6 +162,7 @@ class Air:
             is_last_row=sels["is_last_row"],
             is_transition=sels["is_transition"],
             _fold=fold,
+            periodic=list(periodic),
         )
         self.eval(builder)
         return acc[0]

@@ -1,0 +1,78 @@
+"""Chip development aid: evaluate an AIR's constraints directly on a trace
+over the raw field (no proving) and report every violated (row, constraint)
+pair — the moral equivalent of the reference's debug-constraints mode."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.field_ref import P
+from .air import Air, AirBuilder
+
+__all__ = ["check_trace"]
+
+
+class _Row:
+    """Plain int field element for row-wise numeric evaluation."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: int):
+        self.v = v % P
+
+    def _val(self, o):
+        return o.v if isinstance(o, _Row) else int(o)
+
+    def __add__(self, o):
+        return _Row(self.v + self._val(o))
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return _Row(self.v - self._val(o))
+
+    def __rsub__(self, o):
+        return _Row(self._val(o) - self.v)
+
+    def __mul__(self, o):
+        return _Row(self.v * self._val(o))
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return _Row(-self.v)
+
+
+def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
+                max_failures: int = 20) -> list[tuple[int, int]]:
+    """Returns [(row, constraint_index)] for every violated constraint
+    (transition rows exclude the wrap; first/last-row constraints evaluated
+    only where their selector is live).  Empty list = trace satisfies AIR."""
+    n = trace.shape[0]
+    periodic = air.periodic_columns()
+    failures: list[tuple[int, int]] = []
+
+    for row in range(n):
+        nxt = (row + 1) % n
+        is_first = 1 if row == 0 else 0
+        is_last = 1 if row == n - 1 else 0
+        is_transition = 0 if row == n - 1 else 1
+        idx = [0]
+
+        def fold(expr, row=row, idx=idx):
+            if isinstance(expr, _Row) and expr.v != 0:
+                failures.append((row, idx[0]))
+            idx[0] += 1
+
+        builder = AirBuilder(
+            local=[_Row(int(v)) for v in trace[row]],
+            next=[_Row(int(v)) for v in trace[nxt]],
+            public=[_Row(int(v)) for v in public_values],
+            is_first_row=_Row(is_first),
+            is_last_row=_Row(is_last),
+            is_transition=_Row(is_transition),
+            _fold=fold,
+            periodic=[_Row(int(p[row % len(p)])) for p in periodic],
+        )
+        air.eval(builder)
+        if len(failures) >= max_failures:
+            break
+    return failures

@@ -21,7 +21,10 @@ batched JAX on device; only the transcript and proof assembly run on host.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import babybear as bb
@@ -57,6 +60,7 @@ def _count_constraints(air: Air, public_values: list[int]) -> int:
         local=[zero] * air.width, next=[zero] * air.width,
         public=[Fp4(int(v)) for v in public_values],
         is_first_row=zero, is_last_row=zero, is_transition=zero, _fold=fold,
+        periodic=[zero] * len(air.periodic_columns()),
     )
     air.eval(builder)
     return counter[0]
@@ -87,17 +91,105 @@ def _pair_rows(values: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([values[:half], values[half:]], axis=1)
 
 
-def _fold_layer(values: jnp.ndarray, beta: Fp4, inv_2x: np.ndarray
-                ) -> jnp.ndarray:
+@jax.jit
+def _fold_layer_jit(values: jnp.ndarray, beta_arr: jnp.ndarray,
+                    inv_2x: jnp.ndarray) -> jnp.ndarray:
     """One FRI fold: f'(x²) = (f(x)+f(−x))/2 + β·(f(x)−f(−x))/(2x)."""
     half = values.shape[0] // 2
     a, b = values[:half], values[half:]
-    inv2 = pow(2, P - 2, P)
-    inv2_m = jnp.uint32(int(bb.np_to_mont(np.array([inv2], np.uint32))[0]))
+    inv2_m = jnp.uint32((pow(2, P - 2, P) * bb.MONT_R) % P)
     even = ex.ext_scale(ex.ext_add(a, b), jnp.broadcast_to(inv2_m, (half,)))
-    odd = ex.ext_scale(ex.ext_sub(a, b), jnp.asarray(inv_2x))
-    beta_arr = jnp.broadcast_to(jnp.asarray(ex.from_fp4(beta)), (half, 4))
-    return ex.ext_add(even, ex.ext_mul(beta_arr, odd))
+    odd = ex.ext_scale(ex.ext_sub(a, b), inv_2x)
+    beta_b = jnp.broadcast_to(beta_arr[None, :], (half, 4))
+    return ex.ext_add(even, ex.ext_mul(beta_b, odd))
+
+
+def _fold_layer(values: jnp.ndarray, beta: Fp4, inv_2x: np.ndarray
+                ) -> jnp.ndarray:
+    return _fold_layer_jit(values, jnp.asarray(ex.from_fp4(beta)),
+                           jnp.asarray(inv_2x))
+
+
+@lru_cache(maxsize=None)
+def _quotient_fn(air: Air, log_n: int, log_blowup: int):
+    """Jitted quotient evaluation for (air, domain size): evaluates every
+    constraint vectorized over the commit domain, folds with the α-power
+    array, divides by Z_H.  Traced once per shape, reused across proofs."""
+    N = 1 << (log_n + log_blowup)
+    w = air.width
+
+    from .air import AirBuilder, BBCol
+
+    @jax.jit
+    def f(lde, apow_m, public_m, is_first, is_last, is_trans, inv_zh,
+          periodic_stack):
+        next_lde = jnp.roll(lde, -(1 << log_blowup), axis=0)
+        idx = [0]
+        acc_arr = [ex.ext_zeros((N,))]
+
+        def fold(expr):
+            a = jnp.broadcast_to(apow_m[idx[0]][None, :], (N, 4))
+            acc_arr[0] = ex.ext_add(acc_arr[0], ex.ext_scale(a, expr.arr))
+            idx[0] += 1
+
+        builder = AirBuilder(
+            local=[BBCol(lde[:, j]) for j in range(w)],
+            next=[BBCol(next_lde[:, j]) for j in range(w)],
+            public=[
+                BBCol(jnp.broadcast_to(public_m[i], (N,)))
+                for i in range(public_m.shape[0])
+            ],
+            is_first_row=BBCol(is_first),
+            is_last_row=BBCol(is_last),
+            is_transition=BBCol(is_trans),
+            _fold=fold,
+            periodic=[BBCol(periodic_stack[i])
+                      for i in range(periodic_stack.shape[0])],
+        )
+        air.eval(builder)
+        return ex.ext_scale(acc_arr[0], inv_zh)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _deep_fn(log_N: int, w: int, n_qcols: int):
+    """Jitted DEEP composition in matvec form:
+
+      Σ_j β^j (V_j(x) − v_j)  =  (Σ_j β^j V_j(x))  −  (Σ_j β^j v_j)
+
+    so each group costs 4 modular matvecs (one per extension limb) plus a
+    broadcast constant — instead of a per-column Python loop."""
+
+    @jax.jit
+    def f(lde, q_cols, bpow_m, tl_m, tn_m, qe_m, inv_x_zeta, inv_x_gzeta):
+        N = lde.shape[0]
+        b_local = bpow_m[:w]                      # (w, 4)
+        b_next = bpow_m[w : 2 * w]
+        b_quot = bpow_m[2 * w :]                  # (n_qcols, 4)
+
+        def group_numer(mat, betas, evals):
+            # Σ_j β_j·M_j(x): per ext limb a modular matvec (N,w)·(w,)
+            comb = jnp.stack(
+                [bb.dot_mod(mat, jnp.broadcast_to(betas[None, :, ell],
+                                                  mat.shape), axis=1)
+                 for ell in range(4)], axis=-1)     # (N, 4)
+            # Σ_j β_j·v_j: full ext product, reduced over j
+            prod = ex.ext_mul(betas[None, :, :], evals[None, :, :])  # (1,j,4)
+            const = bb.sum_mod(prod[0], axis=0)     # (4,)
+            return ex.ext_sub(comb, jnp.broadcast_to(const[None, :], (N, 4)))
+
+        numer_z = ex.ext_add(
+            group_numer(lde, b_local, tl_m),
+            group_numer(q_cols, b_quot, qe_m),
+        )
+        numer_gz = group_numer(lde, b_next, tn_m)
+        return ex.ext_add(
+            ex.ext_mul(numer_z, inv_x_zeta),
+            ex.ext_mul(numer_gz, inv_x_gzeta),
+        )
+
+    return f
 
 
 def _inv_2x(log_size: int, shift: int) -> np.ndarray:
@@ -154,38 +246,29 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     }
     inv_zh_m = bb.to_mont(jnp.asarray(sels_np["inv_z_h"]))
 
-    local_cols = [lde[:, j] for j in range(w)]
-    next_lde = jnp.roll(lde, -config.blowup, axis=0)
-    next_cols = [next_lde[:, j] for j in range(w)]
+    # periodic columns: evaluate each period-m pattern on the commit coset
+    # (period becomes m·blowup there) and tile — no commitment needed
+    periodic_cols = []
+    for pattern in air.periodic_columns():
+        m = len(pattern)
+        s_m = pow(s, n // m, P)
+        vals = coset_lde(
+            bb.to_mont(jnp.asarray(np.asarray(pattern, dtype=np.uint32))),
+            config.log_blowup, s_m,
+        )  # (m·blowup,)
+        periodic_cols.append(jnp.tile(vals, N // vals.shape[0]))
+    periodic_stack = (
+        jnp.stack(periodic_cols, axis=0) if periodic_cols
+        else jnp.zeros((0, N), jnp.uint32)
+    )
 
-    folded_holder = {}
-
-    def fold_with_alpha_array():
-        idx = [0]
-        acc_arr = [ex.ext_zeros((N,))]
-
-        def fold(expr):
-            a = jnp.broadcast_to(apow_m[idx[0]][None, :], (N, 4))
-            acc_arr[0] = ex.ext_add(acc_arr[0], ex.ext_scale(a, expr.arr))
-            idx[0] += 1
-
-        from .air import AirBuilder, BBCol
-
-        pub_m = [BBCol.const(v, (N,)) for v in public_values]
-        builder = AirBuilder(
-            local=[BBCol(c) for c in local_cols],
-            next=[BBCol(c) for c in next_cols],
-            public=pub_m,
-            is_first_row=BBCol(sels_m["is_first_row"]),
-            is_last_row=BBCol(sels_m["is_last_row"]),
-            is_transition=BBCol(sels_m["is_transition"]),
-            _fold=fold,
-        )
-        air.eval(builder)
-        folded_holder["v"] = acc_arr[0]
-
-    fold_with_alpha_array()
-    quotient_vals = ex.ext_scale(folded_holder["v"], inv_zh_m)  # (N, 4)
+    quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
+    quotient_vals = quotient_fn(
+        lde, apow_m,
+        jnp.asarray(bb.np_to_mont(np.array(public_values, dtype=np.uint32))),
+        sels_m["is_first_row"], sels_m["is_last_row"],
+        sels_m["is_transition"], inv_zh_m, periodic_stack,
+    )  # (N, 4)
 
     # 3. split + commit quotient ------------------------------------------
     q_coeffs = coset_coeffs(quotient_vals, s)                # (N, 4)
@@ -236,32 +319,8 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     tn_m = jnp.asarray(bb.np_to_mont(tn))
     qe_m = jnp.asarray(bb.np_to_mont(qe))
 
-    numer_z = ex.ext_zeros((N,))
-    for j in range(w):
-        diff = ex.ext_sub(ex.ext_from_base(lde[:, j]),
-                          jnp.broadcast_to(tl_m[j][None, :], (N, 4)))
-        numer_z = ex.ext_add(
-            numer_z,
-            ex.ext_mul(jnp.broadcast_to(bpow_m[j][None, :], (N, 4)), diff),
-        )
-    for c in range(q_cols.shape[1]):
-        diff = ex.ext_sub(ex.ext_from_base(q_cols[:, c]),
-                          jnp.broadcast_to(qe_m[c][None, :], (N, 4)))
-        numer_z = ex.ext_add(
-            numer_z,
-            ex.ext_mul(
-                jnp.broadcast_to(bpow_m[2 * w + c][None, :], (N, 4)), diff),
-        )
-    numer_gz = ex.ext_zeros((N,))
-    for j in range(w):
-        diff = ex.ext_sub(ex.ext_from_base(lde[:, j]),
-                          jnp.broadcast_to(tn_m[j][None, :], (N, 4)))
-        numer_gz = ex.ext_add(
-            numer_gz,
-            ex.ext_mul(jnp.broadcast_to(bpow_m[w + j][None, :], (N, 4)), diff),
-        )
-    deep = ex.ext_add(
-        ex.ext_mul(numer_z, inv_x_zeta), ex.ext_mul(numer_gz, inv_x_gzeta)
+    deep = _deep_fn(log_n + config.log_blowup, w, q_cols.shape[1])(
+        lde, q_cols, bpow_m, tl_m, tn_m, qe_m, inv_x_zeta, inv_x_gzeta
     )  # (N, 4)
 
     # 6. FRI ---------------------------------------------------------------

@@ -87,9 +87,12 @@ def verify(air: Air, proof: StarkProof,
         "is_last_row": z_h / (zeta - g_last),
         "is_transition": zeta - g_last,
     }
+    periodic_at_zeta = [
+        _eval_periodic(pattern, zeta, n) for pattern in air.periodic_columns()
+    ]
     folded = air.fold_constraints_scalar(
         proof.trace_local_evals, proof.trace_next_evals,
-        proof.public_values, sels, alpha,
+        proof.public_values, sels, alpha, periodic=periodic_at_zeta,
     )
     zeta_n = zeta**n
     q_at_zeta = Fp4(0)
@@ -165,6 +168,29 @@ def verify(air: Air, proof: StarkProof,
     # --- FRI final layer is low-degree ------------------------------------
     _final_low_degree(proof.fri_final, config, log_N, n_layers)
     return True
+
+
+def _eval_periodic(pattern, zeta: Fp4, n: int) -> Fp4:
+    """Evaluate the degree-<m interpolant of a period-m pattern at ζ^{n/m}
+    (naive inverse DFT + Horner; m is small, e.g. 64)."""
+    m = len(pattern)
+    w = two_adic_root(m.bit_length() - 1)
+    w_inv = pow(w, P - 2, P)
+    m_inv = pow(m, P - 2, P)
+    coeffs = []
+    for k in range(m):
+        step = pow(w_inv, k, P)
+        acc = 0
+        wk = 1
+        for j in range(m):
+            acc = (acc + int(pattern[j]) * wk) % P
+            wk = wk * step % P
+        coeffs.append(acc * m_inv % P)
+    y = zeta ** (n // m)
+    out = Fp4(0)
+    for c in reversed(coeffs):
+        out = out * y + Fp4(c)
+    return out
 
 
 def _final_low_degree(values: list[Fp4], config: StarkConfig,

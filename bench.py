@@ -1,0 +1,167 @@
+"""Benchmark: prove the reference fixture's TLS session on the TPU STARK
+stack and report against the reference baseline (BASELINE.md: SP1 4.1 +
+A10 = 81.79 s end-to-end for testdata/input.json).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...,  ...extras}
+
+Current scope (round 1): the guest replay runs natively (host) and the
+SHA-256 transcript witness — every compression of the recorded session —
+is STARK-proven on device and verified on host.  The AES-GCM/ECDHE chips
+land next; `partial: true` marks that this is not yet the full workload
+surface of the reference's 81.79 s row.
+
+Env knobs:
+  ZKTLS_BENCH_COMPRESSIONS  cap the number of compressions (default: all)
+  ZKTLS_BENCH_QUERIES       FRI queries (default 36)
+  ZKTLS_BENCH_TIMEOUT       seconds before emitting whatever was measured
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_S = 81.792756724  # BASELINE.md: SP1 4.1 + A10
+
+RESULT: dict = {
+    "metric": "sha256_transcript_proof_s",
+    "value": None,
+    "unit": "s",
+    "vs_baseline": None,
+    "partial": True,
+    "note": "guest replay native + STARK proof of all SHA-256 compressions "
+            "of the recorded session; AES/EC chips pending",
+}
+
+
+def _emit_and_exit(signum=None, frame=None):
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
+
+def log(*a):
+    print(f"[bench {time.strftime('%H:%M:%S')}]", *a, file=sys.stderr,
+          flush=True)
+
+
+def main() -> None:
+    timeout = int(os.environ.get("ZKTLS_BENCH_TIMEOUT", "3000"))
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(timeout)
+
+    import jax
+
+    log("devices:", jax.devices())
+    RESULT["platform"] = str(jax.devices()[0].platform)
+
+    import numpy as np
+
+    from zktls_tpu.core.legacy import LegacyGuestInput
+    from zktls_tpu.guest.program import run_guest
+    from zktls_tpu.models.sha256_chip import sha256_air
+    from zktls_tpu.stark.chips.sha256 import sha256_trace
+    from zktls_tpu.stark.config import StarkConfig
+    from zktls_tpu.stark.prover import prove
+    from zktls_tpu.stark.verifier import verify
+
+    # ---- witness: replay the recorded session --------------------------
+    t0 = time.time()
+    fixture = "/root/reference/crates/guest-prover-sp1/testdata/guest_input0.cbor"
+    gi = LegacyGuestInput.from_cbor(open(fixture, "rb").read()).to_guest_input()
+    out = run_guest(gi)
+    events = out.replay.sha256_recorder.events
+    cap = os.environ.get("ZKTLS_BENCH_COMPRESSIONS")
+    if cap:
+        events = events[: int(cap)]
+    t_witness = time.time() - t0
+    RESULT["witness_s"] = round(t_witness, 3)
+    RESULT["n_compressions"] = len(events)
+    log(f"replay + journal: {t_witness:.2f}s, {len(events)} compressions")
+
+    t0 = time.time()
+    comps = [(e.block, e.state_in) for e in events]
+    trace, public = sha256_trace(comps)
+    t_trace = time.time() - t0
+    RESULT["trace_s"] = round(t_trace, 3)
+    RESULT["trace_shape"] = list(trace.shape)
+    log(f"trace {trace.shape}: {t_trace:.2f}s")
+
+    cfg = StarkConfig(
+        log_blowup=2,
+        num_queries=int(os.environ.get("ZKTLS_BENCH_QUERIES", "36")),
+        fri_final_size=64,
+    )
+    air = sha256_air()
+
+    # ---- prove (first run pays one-time XLA compile) -------------------
+    t0 = time.time()
+    proof = prove(air, trace, public, cfg)
+    t_first = time.time() - t0
+    RESULT["prove_first_s"] = round(t_first, 3)
+    log(f"prove (compile+run): {t_first:.2f}s")
+
+    t0 = time.time()
+    proof = prove(air, trace, public, cfg)
+    t_prove = time.time() - t0
+    RESULT["prove_cached_s"] = round(t_prove, 3)
+    RESULT["proof_bytes"] = len(proof.to_bytes())
+    log(f"prove (cached): {t_prove:.2f}s, proof {RESULT['proof_bytes']} B")
+
+    t0 = time.time()
+    assert verify(air, proof, cfg)
+    RESULT["verify_s"] = round(time.time() - t0, 3)
+    log(f"verify: {RESULT['verify_s']}s")
+
+    e2e = t_witness + t_trace + t_prove
+    RESULT["value"] = round(e2e, 3)
+    RESULT["vs_baseline"] = round(BASELINE_S / e2e, 3)
+
+    # ---- kernel throughput ---------------------------------------------
+    try:
+        import jax.numpy as jnp
+
+        from zktls_tpu.ops import babybear as bb
+        from zktls_tpu.ops.field_ref import P
+        from zktls_tpu.ops.ntt import ntt
+        from zktls_tpu.ops.poseidon2 import permute_batch
+
+        rng = np.random.default_rng(0)
+        x = bb.to_mont(jnp.asarray(
+            rng.integers(0, P, (1 << 16, 16), dtype=np.uint32)))
+        ntt(x).block_until_ready()
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            y = ntt(x)
+        y.block_until_ready()
+        dt = (time.time() - t0) / reps
+        muls = (1 << 15) * 16 * 16  # n/2·log n·cols field muls
+        RESULT["ntt_2e16x16_ms"] = round(dt * 1e3, 2)
+        RESULT["ntt_gmul_s"] = round(muls / dt / 1e9, 3)
+        log(f"ntt 2^16x16: {dt*1e3:.1f} ms")
+
+        s = bb.to_mont(jnp.asarray(
+            rng.integers(0, P, (1 << 14, 16), dtype=np.uint32)))
+        permute_batch(s).block_until_ready()
+        t0 = time.time()
+        for _ in range(reps):
+            z = permute_batch(s)
+        z.block_until_ready()
+        dt = (time.time() - t0) / reps
+        RESULT["poseidon2_perm_s"] = round((1 << 14) / dt, 0)
+        log(f"poseidon2: {(1<<14)/dt:,.0f} perms/s")
+    except Exception as e:  # throughput extras must not kill the benchmark
+        log("throughput section failed:", e)
+
+    signal.alarm(0)
+    print(json.dumps(RESULT), flush=True)
+
+
+if __name__ == "__main__":
+    main()

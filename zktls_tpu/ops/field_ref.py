@@ -33,11 +33,19 @@ class Fp:
     def __init__(self, v: int):
         self.v = v % P
 
-    def __add__(self, o): return Fp(self.v + _val(o))
+    def __add__(self, o):
+        v = _val(o)
+        return NotImplemented if v is None else Fp(self.v + v)
     __radd__ = __add__
-    def __sub__(self, o): return Fp(self.v - _val(o))
-    def __rsub__(self, o): return Fp(_val(o) - self.v)
-    def __mul__(self, o): return Fp(self.v * _val(o))
+    def __sub__(self, o):
+        v = _val(o)
+        return NotImplemented if v is None else Fp(self.v - v)
+    def __rsub__(self, o):
+        v = _val(o)
+        return NotImplemented if v is None else Fp(v - self.v)
+    def __mul__(self, o):
+        v = _val(o)
+        return NotImplemented if v is None else Fp(self.v * v)
     __rmul__ = __mul__
     def __neg__(self): return Fp(-self.v)
     def __pow__(self, e: int): return Fp(pow(self.v, e, P))
@@ -46,14 +54,20 @@ class Fp:
             raise ZeroDivisionError("inverse of 0")
         return Fp(pow(self.v, P - 2, P))
     def __truediv__(self, o): return self * Fp(_val(o)).inv()
-    def __eq__(self, o): return self.v == _val(o) % P
+    def __eq__(self, o):
+        v = _val(o)
+        return NotImplemented if v is None else self.v == v % P
     def __hash__(self): return hash(self.v)
     def __repr__(self): return f"Fp({self.v})"
     def __int__(self): return self.v
 
 
-def _val(x) -> int:
-    return x.v if isinstance(x, Fp) else int(x)
+def _val(x):
+    if isinstance(x, Fp):
+        return x.v
+    if isinstance(x, int):
+        return x
+    return None  # defer to the other operand's reflected op
 
 
 def two_adic_root(log_n: int) -> int:
@@ -93,21 +107,30 @@ class Fp4:
 
     def __add__(self, o):
         o = _lift(o)
+        if o is None:
+            return NotImplemented
         return Fp4(*[(a + b) % P for a, b in zip(self.c, o.c)])
     __radd__ = __add__
 
     def __sub__(self, o):
         o = _lift(o)
+        if o is None:
+            return NotImplemented
         return Fp4(*[(a - b) % P for a, b in zip(self.c, o.c)])
 
     def __rsub__(self, o):
-        return _lift(o) - self
+        o = _lift(o)
+        if o is None:
+            return NotImplemented
+        return o - self
 
     def __neg__(self):
         return Fp4(*[-a % P for a in self.c])
 
     def __mul__(self, o):
         o = _lift(o)
+        if o is None:
+            return NotImplemented
         a, b = self.c, o.c
         # schoolbook then fold x^4 -> W
         prod = [0] * 7
@@ -158,7 +181,8 @@ class Fp4:
         )
 
     def __eq__(self, o):
-        return self.c == _lift(o).c
+        o = _lift(o)
+        return NotImplemented if o is None else self.c == o.c
 
     def __hash__(self):
         return hash(self.c)
@@ -170,7 +194,8 @@ class Fp4:
         return self.c[1] == self.c[2] == self.c[3] == 0
 
 
-def _lift(x) -> Fp4:
+def _lift(x):
     if isinstance(x, Fp4):
         return x
-    return Fp4(_val(x))
+    v = _val(x)
+    return None if v is None else Fp4(v)

@@ -202,22 +202,29 @@ def _permute_fn(width: int):
 
     @jax.jit
     def f(s):
-        # s: (N, width) Montgomery
-        s = _external_matrix_batch(s)
-        for r in range(half):
-            s = bb.add(s, jnp.asarray(ext_rc[r])[None, :])
-            s = _sbox_batch(s)
-            s = _external_matrix_batch(s)
+        # s: (N, width) Montgomery.  Rounds run under fori_loop so the
+        # traced graph is one round body, not rf+rp unrolled copies —
+        # Merkle tree levels retrace this per batch shape, so graph size
+        # directly multiplies into XLA compile time.
+        erc = jnp.asarray(ext_rc)
+        irc = jnp.asarray(int_rc)
         dg = jnp.asarray(diag)[None, :]
-        for r in range(p.rp):
-            lane0 = _sbox_batch(bb.add(s[:, 0], jnp.uint32(int_rc[r])))
-            s = jnp.concatenate([lane0[:, None], s[:, 1:]], axis=1)
-            tot = bb.sum_mod(s, axis=1)
-            s = bb.add(tot[:, None], bb.mul(s, dg))
-        for r in range(half, p.rf):
-            s = bb.add(s, jnp.asarray(ext_rc[r])[None, :])
-            s = _sbox_batch(s)
-            s = _external_matrix_batch(s)
+
+        def ext_round(r, st):
+            st = bb.add(st, erc[r][None, :])
+            st = _sbox_batch(st)
+            return _external_matrix_batch(st)
+
+        def int_round(r, st):
+            lane0 = _sbox_batch(bb.add(st[:, 0], irc[r]))
+            st = jnp.concatenate([lane0[:, None], st[:, 1:]], axis=1)
+            tot = bb.sum_mod(st, axis=1)
+            return bb.add(tot[:, None], bb.mul(st, dg))
+
+        s = _external_matrix_batch(s)
+        s = jax.lax.fori_loop(0, half, ext_round, s)
+        s = jax.lax.fori_loop(0, p.rp, int_round, s)
+        s = jax.lax.fori_loop(half, p.rf, ext_round, s)
         return s
 
     return f

@@ -34,7 +34,9 @@ __all__ = ["Air", "BBCol", "FoldingBuilder", "AirBuilder"]
 
 
 class BBCol:
-    """Base-field column: a uint32 Montgomery array with field operators."""
+    """Base-field column or column-group: a uint32 Montgomery array of shape
+    (N,) or (N, k) with field operators.  Mixed (N,) × (N, k) operations
+    broadcast the column across the group."""
 
     __slots__ = ("arr",)
 
@@ -46,29 +48,93 @@ class BBCol:
         m = (int(v) % P) * bb.MONT_R % P
         return cls(jnp.full(shape, m, dtype=jnp.uint32))
 
-    def _lift(self, o) -> "BBCol":
-        if isinstance(o, BBCol):
-            return o
+    def _align(self, o) -> tuple:
         if isinstance(o, int):
-            return BBCol.const(o, self.arr.shape)
-        raise TypeError(f"cannot lift {type(o)} to BBCol")
+            o = BBCol.const(o, self.arr.shape)
+        if not isinstance(o, BBCol):
+            raise TypeError(f"cannot lift {type(o)} to BBCol")
+        a, b_ = self.arr, o.arr
+        if a.ndim == 1 and b_.ndim == 2:
+            a = a[:, None]
+        elif a.ndim == 2 and b_.ndim == 1:
+            b_ = b_[:, None]
+        return a, b_
 
     def __add__(self, o):
-        return BBCol(bb.add(self.arr, self._lift(o).arr))
+        a, b_ = self._align(o)
+        return BBCol(bb.add(a, b_))
     __radd__ = __add__
 
     def __sub__(self, o):
-        return BBCol(bb.sub(self.arr, self._lift(o).arr))
+        a, b_ = self._align(o)
+        return BBCol(bb.sub(a, b_))
 
     def __rsub__(self, o):
-        return BBCol(bb.sub(self._lift(o).arr, self.arr))
+        a, b_ = self._align(o)
+        return BBCol(bb.sub(b_, a))
 
     def __mul__(self, o):
-        return BBCol(bb.mul(self.arr, self._lift(o).arr))
+        a, b_ = self._align(o)
+        return BBCol(bb.mul(a, b_))
     __rmul__ = __mul__
 
     def __neg__(self):
         return BBCol(bb.neg(self.arr))
+
+    def roll(self, shift: int) -> "BBCol":
+        """Circular shift along the group axis: out[i] = self[(i−shift) % k]
+        (jnp.roll semantics)."""
+        return BBCol(jnp.roll(self.arr, shift, axis=-1))
+
+    def __getitem__(self, idx) -> "BBCol":
+        return BBCol(self.arr[:, idx])
+
+
+class ScalarVec:
+    """Host-side analogue of a BBCol group: a list of scalar algebra
+    elements (Fp4 at ζ, or plain ints in the debug checker) with the same
+    elementwise/roll/indexing API."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items):
+        self.items = list(items)
+
+    def _pair(self, o):
+        if isinstance(o, ScalarVec):
+            if len(o.items) != len(self.items):
+                raise ValueError("group width mismatch")
+            return o.items
+        return [o] * len(self.items)
+
+    def __add__(self, o):
+        return ScalarVec(a + b_ for a, b_ in zip(self.items, self._pair(o)))
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return ScalarVec(a - b_ for a, b_ in zip(self.items, self._pair(o)))
+
+    def __rsub__(self, o):
+        return ScalarVec(b_ - a for a, b_ in zip(self.items, self._pair(o)))
+
+    def __mul__(self, o):
+        return ScalarVec(a * b_ for a, b_ in zip(self.items, self._pair(o)))
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return ScalarVec(-a for a in self.items)
+
+    def roll(self, shift: int) -> "ScalarVec":
+        k = len(self.items)
+        return ScalarVec(self.items[(i - shift) % k] for i in range(k))
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return ScalarVec(self.items[idx])
+        return self.items[idx]
+
+    def __len__(self):
+        return len(self.items)
 
 
 @dataclass
@@ -92,6 +158,11 @@ class AirBuilder:
     _fold: Callable[[Any], None]
     periodic: Sequence[Any] = ()
     constraint_count: int = 0
+    #: vector-API hooks, injected per backend (None = scalar fallback)
+    _fold_vec: Callable[[Any], None] | None = None
+    _group: Callable[[Sequence[Any], slice], Any] | None = None
+    _const_vec: Callable[[Sequence[int]], Any] | None = None
+    _dot_const: Callable[[Any, Sequence[int]], Any] | None = None
 
     def assert_zero(self, expr) -> None:
         self._fold(expr)
@@ -111,6 +182,31 @@ class AirBuilder:
 
     def when_transition(self, expr) -> None:
         self.assert_zero(self.is_transition * expr)
+
+    # -- vector API: whole constraint groups folded at once --------------
+
+    def local_group(self, sl: slice):
+        """The local-row columns sl as one group value (BBCol (N,k) on the
+        prover, ScalarVec on the verifier)."""
+        return self._group(self.local, sl)
+
+    def next_group(self, sl: slice):
+        return self._group(self.next, sl)
+
+    def const_vec(self, values: Sequence[int]):
+        """A constant row-vector group (e.g. masks, powers of two)."""
+        return self._const_vec(values)
+
+    def dot_const(self, group, weights: Sequence[int]):
+        """Linear combination along the group axis with constant integer
+        weights — the limb-packing primitive Σᵢ gᵢ·wᵢ."""
+        return self._dot_const(group, weights)
+
+    def assert_zero_vec(self, expr, count: int) -> None:
+        """Fold `count` constraints (one per group lane) with consecutive
+        challenge powers in a single matrix operation."""
+        self._fold_vec(expr)
+        self.constraint_count += count
 
 
 class Air:
@@ -163,6 +259,33 @@ class Air:
             is_transition=sels["is_transition"],
             _fold=fold,
             periodic=list(periodic),
+            **scalar_vec_hooks(fold, lambda v: Fp4(v)),
         )
         self.eval(builder)
         return acc[0]
+
+
+def scalar_vec_hooks(fold: Callable[[Any], None],
+                     make_const: Callable[[int], Any]) -> dict:
+    """Vector-API hooks for any scalar backend (verifier Fp4, debug ints,
+    constraint counting): groups are ScalarVecs, vector folds loop."""
+
+    def fold_vec(expr: ScalarVec):
+        for e in expr.items:
+            fold(e)
+
+    def group(seq, sl: slice):
+        return ScalarVec(list(seq)[sl])
+
+    def const_vec(values):
+        return ScalarVec(make_const(int(v)) for v in values)
+
+    def dot_const(g: ScalarVec, weights):
+        acc = None
+        for item, w_ in zip(g.items, weights):
+            term = item * int(w_)
+            acc = term if acc is None else acc + term
+        return acc
+
+    return {"_fold_vec": fold_vec, "_group": group,
+            "_const_vec": const_vec, "_dot_const": dot_const}

@@ -120,9 +120,21 @@ class Sha256Air(Air):
     # ------------------------------------------------------------------
 
     def eval(self, b: AirBuilder) -> None:
+        """Constraints in vectorized-group form: whole 32-lane families are
+        asserted as one matrix expression (one fused device op + one
+        challenge-power matvec per family), which keeps the prover's XLA
+        graph ~100 ops instead of ~15k."""
         L = LAYOUT
         k_lo, k_hi, is_last, is_r0 = b.periodic
         not_last = 1 - is_last
+
+        POW16 = [1 << i for i in range(16)]
+
+        def g(name):
+            return b.local_group(L[name])
+
+        def ng(name):
+            return b.next_group(L[name])
 
         def col(name, i=0):
             return b.local[L[name].start + i]
@@ -130,82 +142,60 @@ class Sha256Air(Air):
         def ncol(name, i=0):
             return b.next[L[name].start + i]
 
-        def bits(name):
-            return [col(name, i) for i in range(32)]
-
-        def nbits(name):
-            return [ncol(name, i) for i in range(32)]
-
-        def pack(cols, lo=True):
-            """Σ bits·2^k over half range (16 bits)."""
-            rng = range(0, 16) if lo else range(16, 32)
-            acc = None
-            for idx, k in enumerate(rng):
-                term = cols[k] * (1 << idx)
-                acc = term if acc is None else acc + term
-            return acc
+        def pack(grp, lo=True):
+            return b.dot_const(grp[0:16] if lo else grp[16:32], POW16)
 
         def carry_val(name, off, nb):
-            acc = None
-            for i in range(nb):
-                term = col(name, off + i) * (1 << i)
-                acc = term if acc is None else acc + term
-            return acc
+            sl = slice(L[name].start + off, L[name].start + off + nb)
+            return b.dot_const(b.local_group(sl), [1 << i for i in range(nb)])
 
-        a, bb_, c, e, f, g = (bits(v) for v in ("a", "b", "c", "e", "f", "g"))
-        s0, s1, maj, ch = (bits(v) for v in ("s0", "s1", "maj", "ch"))
-        w1, w14 = bits("w1"), bits("w14")
-        sig0, sig1 = bits("sig0"), bits("sig1")
+        def xor3v(x, y, z):
+            return x + y + z - 2 * (x * y + y * z + x * z) + 4 * (x * y * z)
+
+        A, B_, C = g("a"), g("b"), g("c")
+        E, F, G_ = g("e"), g("f"), g("g")
+        S0, S1, MAJ, CH = g("s0"), g("s1"), g("maj"), g("ch")
+        W1, W14 = g("w1"), g("w14")
+        SIG0, SIG1 = g("sig0"), g("sig1")
 
         # --- booleanity (free-witness bits only) ---
-        for name in ("a", "b", "c", "e", "f", "g", "w1", "w14"):
-            for bit in bits(name):
-                b.assert_bool(bit)
-        for name in ("sc", "ce", "ca"):
-            for i in range(L[name].stop - L[name].start):
-                b.assert_bool(col(name, i))
-        for i in range(48):
-            b.assert_bool(col("hc", i))
+        for grp, k in ((A, 32), (B_, 32), (C, 32), (E, 32), (F, 32),
+                       (G_, 32), (W1, 32), (W14, 32),
+                       (g("sc"), 4), (g("ce"), 6), (g("ca"), 6),
+                       (g("hc"), 48)):
+            b.assert_zero_vec(grp * (grp - 1), k)
 
         # --- boolean-function definitions (degree ≤ 3, every row) ---
-        for k in range(32):
-            b.assert_zero(s1[k] - _xor3(e[(k + 6) % 32], e[(k + 11) % 32],
-                                        e[(k + 25) % 32]))
-            b.assert_zero(s0[k] - _xor3(a[(k + 2) % 32], a[(k + 13) % 32],
-                                        a[(k + 22) % 32]))
-            b.assert_zero(ch[k] - (e[k] * f[k] + g[k] - e[k] * g[k]))
-            b.assert_zero(maj[k] - (a[k] * bb_[k] + a[k] * c[k]
-                                    + bb_[k] * c[k]
-                                    - 2 * (a[k] * bb_[k] * c[k])))
-            # σ0 = rotr7 ^ rotr18 ^ shr3 ; σ1 = rotr17 ^ rotr19 ^ shr10
-            if k + 3 < 32:
-                b.assert_zero(sig0[k] - _xor3(w1[(k + 7) % 32],
-                                              w1[(k + 18) % 32], w1[k + 3]))
-            else:
-                b.assert_zero(sig0[k] - _xor2(w1[(k + 7) % 32],
-                                              w1[(k + 18) % 32]))
-            if k + 10 < 32:
-                b.assert_zero(sig1[k] - _xor3(w14[(k + 17) % 32],
-                                              w14[(k + 19) % 32], w14[k + 10]))
-            else:
-                b.assert_zero(sig1[k] - _xor2(w14[(k + 17) % 32],
-                                              w14[(k + 19) % 32]))
+        # roll(-r)[k] = bits[(k+r) % 32] = rotr by r;  shr via zero mask
+        b.assert_zero_vec(
+            S1 - xor3v(E.roll(-6), E.roll(-11), E.roll(-25)), 32)
+        b.assert_zero_vec(
+            S0 - xor3v(A.roll(-2), A.roll(-13), A.roll(-22)), 32)
+        b.assert_zero_vec(CH - (E * F + G_ - E * G_), 32)
+        b.assert_zero_vec(
+            MAJ - (A * B_ + A * C + B_ * C - 2 * (A * B_ * C)), 32)
+        shr3 = W1.roll(-3) * b.const_vec([1] * 29 + [0] * 3)
+        b.assert_zero_vec(
+            SIG0 - xor3v(W1.roll(-7), W1.roll(-18), shr3), 32)
+        shr10 = W14.roll(-10) * b.const_vec([1] * 22 + [0] * 10)
+        b.assert_zero_vec(
+            SIG1 - xor3v(W14.roll(-17), W14.roll(-19), shr10), 32)
 
         # --- w1/w14 bits pack to window words 1 and 14 ---
-        b.assert_zero(pack(w1, True) - col("w_win", 2))
-        b.assert_zero(pack(w1, False) - col("w_win", 3))
-        b.assert_zero(pack(w14, True) - col("w_win", 28))
-        b.assert_zero(pack(w14, False) - col("w_win", 29))
+        b.assert_zero(pack(W1, True) - col("w_win", 2))
+        b.assert_zero(pack(W1, False) - col("w_win", 3))
+        b.assert_zero(pack(W14, True) - col("w_win", 28))
+        b.assert_zero(pack(W14, False) - col("w_win", 29))
 
         # --- round-0 rows: working vars equal the block input state ---
         var_lo_hi = [
-            (pack(a, True), pack(a, False)),
-            (pack(bb_, True), pack(bb_, False)),
-            (pack(c, True), pack(c, False)),
+            (pack(A, True), pack(A, False)),
+            (pack(B_, True), pack(B_, False)),
+            (pack(C, True), pack(C, False)),
             (col("dh", 0), col("dh", 1)),
-            (pack(e, True), pack(e, False)),
-            (pack(f, True), pack(f, False)),
-            (pack(g, True), pack(g, False)),
+            (pack(E, True), pack(E, False)),
+            (pack(F, True), pack(F, False)),
+            (pack(G_, True), pack(G_, False)),
             (col("dh", 2), col("dh", 3)),
         ]
         for i in range(8):
@@ -213,10 +203,10 @@ class Sha256Air(Air):
             b.assert_zero(is_r0 * (var_lo_hi[i][1] - col("h_state", 2 * i + 1)))
 
         # --- round additions (transition, not across block boundary) ---
-        s1v_lo, s1v_hi = pack(s1, True), pack(s1, False)
-        s0v_lo, s0v_hi = pack(s0, True), pack(s0, False)
-        chv_lo, chv_hi = pack(ch, True), pack(ch, False)
-        majv_lo, majv_hi = pack(maj, True), pack(maj, False)
+        s1v_lo, s1v_hi = pack(S1, True), pack(S1, False)
+        s0v_lo, s0v_hi = pack(S0, True), pack(S0, False)
+        chv_lo, chv_hi = pack(CH, True), pack(CH, False)
+        majv_lo, majv_hi = pack(MAJ, True), pack(MAJ, False)
         w0_lo, w0_hi = col("w_win", 0), col("w_win", 1)
         h_lo, h_hi = col("dh", 2), col("dh", 3)
         d_lo, d_hi = col("dh", 0), col("dh", 1)
@@ -224,41 +214,36 @@ class Sha256Air(Air):
         t1_lo = h_lo + s1v_lo + chv_lo + k_lo + w0_lo
         t1_hi = h_hi + s1v_hi + chv_hi + k_hi + w0_hi
         # e' = d + t1
-        ne = nbits("e")
+        NE, NA = ng("e"), ng("a")
         ce_lo = carry_val("ce", 0, 3)
         ce_hi = carry_val("ce", 3, 3)
-        b.assert_zero(not_last * (d_lo + t1_lo - pack(ne, True)
+        b.assert_zero(not_last * (d_lo + t1_lo - pack(NE, True)
                                   - ce_lo * (1 << 16)))
-        b.assert_zero(not_last * (d_hi + t1_hi + ce_lo - pack(ne, False)
+        b.assert_zero(not_last * (d_hi + t1_hi + ce_lo - pack(NE, False)
                                   - ce_hi * (1 << 16)))
         # a' = t1 + t2,  t2 = Σ0 + maj
-        na = nbits("a")
         ca_lo = carry_val("ca", 0, 3)
         ca_hi = carry_val("ca", 3, 3)
-        b.assert_zero(not_last * (t1_lo + s0v_lo + majv_lo - pack(na, True)
+        b.assert_zero(not_last * (t1_lo + s0v_lo + majv_lo - pack(NA, True)
                                   - ca_lo * (1 << 16)))
         b.assert_zero(not_last * (t1_hi + s0v_hi + majv_hi + ca_lo
-                                  - pack(na, False) - ca_hi * (1 << 16)))
+                                  - pack(NA, False) - ca_hi * (1 << 16)))
         # shifts: b'=a, c'=b, f'=e, g'=f (bitwise), d'=c, h'=g (limbwise)
-        for k in range(32):
-            b.assert_zero(not_last * (ncol("b", k) - a[k]))
-            b.assert_zero(not_last * (ncol("c", k) - bb_[k]))
-            b.assert_zero(not_last * (ncol("f", k) - e[k]))
-            b.assert_zero(not_last * (ncol("g", k) - f[k]))
-        b.assert_zero(not_last * (ncol("dh", 0) - pack(c, True)))
-        b.assert_zero(not_last * (ncol("dh", 1) - pack(c, False)))
-        b.assert_zero(not_last * (ncol("dh", 2) - pack(g, True)))
-        b.assert_zero(not_last * (ncol("dh", 3) - pack(g, False)))
+        b.assert_zero_vec(not_last * (ng("b") - A), 32)
+        b.assert_zero_vec(not_last * (ng("c") - B_), 32)
+        b.assert_zero_vec(not_last * (ng("f") - E), 32)
+        b.assert_zero_vec(not_last * (ng("g") - F), 32)
+        b.assert_zero(not_last * (ncol("dh", 0) - pack(C, True)))
+        b.assert_zero(not_last * (ncol("dh", 1) - pack(C, False)))
+        b.assert_zero(not_last * (ncol("dh", 2) - pack(G_, True)))
+        b.assert_zero(not_last * (ncol("dh", 3) - pack(G_, False)))
 
         # --- message schedule (transition, same gating) ---
-        for j in range(15):
-            b.assert_zero(not_last * (ncol("w_win", 2 * j)
-                                      - col("w_win", 2 * j + 2)))
-            b.assert_zero(not_last * (ncol("w_win", 2 * j + 1)
-                                      - col("w_win", 2 * j + 3)))
+        WWIN, NWWIN = g("w_win"), ng("w_win")
+        b.assert_zero_vec(not_last * (NWWIN[0:30] - WWIN[2:32]), 30)
         # w[t+16] = σ1(w[t+14]) + w[t+9] + σ0(w[t+1]) + w[t]
-        sg0_lo, sg0_hi = pack(sig0, True), pack(sig0, False)
-        sg1_lo, sg1_hi = pack(sig1, True), pack(sig1, False)
+        sg0_lo, sg0_hi = pack(SIG0, True), pack(SIG0, False)
+        sg1_lo, sg1_hi = pack(SIG1, True), pack(SIG1, False)
         sc_lo = carry_val("sc", 0, 2)
         sc_hi = carry_val("sc", 2, 2)
         b.assert_zero(not_last * (
@@ -269,19 +254,18 @@ class Sha256Air(Air):
             - ncol("w_win", 31) - sc_hi * (1 << 16)))
 
         # --- block input state persists within the block ---
-        for i in range(16):
-            b.assert_zero(not_last * (ncol("h_state", i) - col("h_state", i)))
+        b.assert_zero_vec(not_last * (ng("h_state") - g("h_state")), 16)
 
         # --- final row: Davies-Meyer output equals the public digest ---
         after = [
             (t1_lo + s0v_lo + majv_lo, t1_hi + s0v_hi + majv_hi),  # a*
-            (pack(a, True), pack(a, False)),                        # b* = a
-            (pack(bb_, True), pack(bb_, False)),                    # c* = b
-            (pack(c, True), pack(c, False)),                        # d* = c
+            (pack(A, True), pack(A, False)),                        # b* = a
+            (pack(B_, True), pack(B_, False)),                      # c* = b
+            (pack(C, True), pack(C, False)),                        # d* = c
             (d_lo + t1_lo, d_hi + t1_hi),                           # e* = d+t1
-            (pack(e, True), pack(e, False)),                        # f* = e
-            (pack(f, True), pack(f, False)),                        # g* = f
-            (pack(g, True), pack(g, False)),                        # h* = g
+            (pack(E, True), pack(E, False)),                        # f* = e
+            (pack(F, True), pack(F, False)),                        # g* = f
+            (pack(G_, True), pack(G_, False)),                      # h* = g
         ]
         for i in range(8):
             hc_lo = carry_val("hc", 6 * i, 3)

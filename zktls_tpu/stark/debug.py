@@ -21,20 +21,28 @@ class _Row:
         self.v = v % P
 
     def _val(self, o):
-        return o.v if isinstance(o, _Row) else int(o)
+        if isinstance(o, _Row):
+            return o.v
+        if isinstance(o, int):
+            return o
+        return None  # defer to the other operand's reflected op
 
     def __add__(self, o):
-        return _Row(self.v + self._val(o))
+        v = self._val(o)
+        return NotImplemented if v is None else _Row(self.v + v)
     __radd__ = __add__
 
     def __sub__(self, o):
-        return _Row(self.v - self._val(o))
+        v = self._val(o)
+        return NotImplemented if v is None else _Row(self.v - v)
 
     def __rsub__(self, o):
-        return _Row(self._val(o) - self.v)
+        v = self._val(o)
+        return NotImplemented if v is None else _Row(v - self.v)
 
     def __mul__(self, o):
-        return _Row(self.v * self._val(o))
+        v = self._val(o)
+        return NotImplemented if v is None else _Row(self.v * v)
     __rmul__ = __mul__
 
     def __neg__(self):
@@ -62,6 +70,8 @@ def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
                 failures.append((row, idx[0]))
             idx[0] += 1
 
+        from .air import scalar_vec_hooks
+
         builder = AirBuilder(
             local=[_Row(int(v)) for v in trace[row]],
             next=[_Row(int(v)) for v in trace[nxt]],
@@ -71,6 +81,7 @@ def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
             is_transition=_Row(is_transition),
             _fold=fold,
             periodic=[_Row(int(p[row % len(p)])) for p in periodic],
+            **scalar_vec_hooks(fold, lambda v: _Row(v)),
         )
         air.eval(builder)
         if len(failures) >= max_failures:

@@ -48,7 +48,7 @@ __all__ = ["prove"]
 
 def _count_constraints(air: Air, public_values: list[int]) -> int:
     """Dry-run the AIR on scalar zeros to learn the constraint count."""
-    from .air import AirBuilder
+    from .air import AirBuilder, scalar_vec_hooks
 
     zero = Fp4(0)
     counter = [0]
@@ -61,6 +61,7 @@ def _count_constraints(air: Air, public_values: list[int]) -> int:
         public=[Fp4(int(v)) for v in public_values],
         is_first_row=zero, is_last_row=zero, is_transition=zero, _fold=fold,
         periodic=[zero] * len(air.periodic_columns()),
+        **scalar_vec_hooks(fold, lambda v: Fp4(v)),
     )
     air.eval(builder)
     return counter[0]
@@ -132,6 +133,34 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             acc_arr[0] = ex.ext_add(acc_arr[0], ex.ext_scale(a, expr.arr))
             idx[0] += 1
 
+        mats = {"local": lde, "next": next_lde}
+
+        def fold_vec(expr):
+            arr = expr.arr
+            if arr.ndim == 1:
+                return fold(expr)
+            k = arr.shape[1]
+            sl = apow_m[idx[0] : idx[0] + k]                 # static idx
+            contrib = jnp.stack(
+                [bb.sum_mod(bb.mul(arr, sl[None, :, ell]), axis=1)
+                 for ell in range(4)], axis=-1)              # (N, 4)
+            acc_arr[0] = ex.ext_add(acc_arr[0], contrib)
+            idx[0] += k
+
+        def group(seq, sl: slice):
+            # `seq` is the builder's local/next list; recover the matrix
+            src = mats["local"] if seq is builder.local else mats["next"]
+            return BBCol(src[:, sl])
+
+        def const_vec(values):
+            vals = bb.np_to_mont(np.array(list(values), dtype=np.uint32))
+            return BBCol(jnp.asarray(vals)[None, :])
+
+        def dot_const(g, weights):
+            w_row = bb.np_to_mont(np.array(list(weights), dtype=np.uint32))
+            prod = bb.mul(g.arr, jnp.asarray(w_row)[None, :])
+            return BBCol(bb.sum_mod(prod, axis=1))
+
         builder = AirBuilder(
             local=[BBCol(lde[:, j]) for j in range(w)],
             next=[BBCol(next_lde[:, j]) for j in range(w)],
@@ -145,6 +174,10 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             _fold=fold,
             periodic=[BBCol(periodic_stack[i])
                       for i in range(periodic_stack.shape[0])],
+            _fold_vec=fold_vec,
+            _group=group,
+            _const_vec=const_vec,
+            _dot_const=dot_const,
         )
         air.eval(builder)
         return ex.ext_scale(acc_arr[0], inv_zh)

@@ -57,6 +57,20 @@ def main() -> None:
 
     import jax
 
+    # persistent compilation cache: the tunneled TPU's remote compile has
+    # minutes-scale latency, so cache compiled programs across runs
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:
+        log("compilation cache unavailable:", e)
+
     log("devices:", jax.devices())
     RESULT["platform"] = str(jax.devices()[0].platform)
 

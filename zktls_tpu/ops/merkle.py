@@ -15,6 +15,8 @@ verifier and is property-tested against the batched kernels.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -31,6 +33,30 @@ DIGEST_WIDTH = 8
 RATE = 8
 WIDTH = 16
 
+#: Batch-shape quantum: every Poseidon2 permute call runs at exactly this
+#: row count (inputs are sliced/padded to it), so tree levels of any size —
+#: and every tree in the prover — reuse ONE compiled program per sponge
+#: width.  Vital when XLA compilation is remote/expensive.
+CHUNK = int(os.environ.get("ZKTLS_MERKLE_CHUNK", "8192"))
+
+
+def _permute_chunked(states: jnp.ndarray) -> jnp.ndarray:
+    """Width-16 permutation of (M, 16), executed in fixed-(CHUNK, 16)
+    slices so only one program shape is ever compiled."""
+    m = states.shape[0]
+    if m == CHUNK:
+        return permute_batch(states)
+    outs = []
+    for start in range(0, m, CHUNK):
+        part = states[start : start + CHUNK]
+        if part.shape[0] < CHUNK:
+            pad = jnp.zeros((CHUNK - part.shape[0], WIDTH), jnp.uint32)
+            part = jnp.concatenate([part, pad], axis=0)
+            outs.append(permute_batch(part)[: m - start])
+        else:
+            outs.append(permute_batch(part))
+    return jnp.concatenate(outs, axis=0)
+
 
 def hash_rows(rows: jnp.ndarray) -> jnp.ndarray:
     """Hash each row of (N, W) to an (N, 8) digest (Montgomery in/out)."""
@@ -44,7 +70,7 @@ def hash_rows(rows: jnp.ndarray) -> jnp.ndarray:
             chunk = jnp.concatenate([chunk, pad], axis=1)
         absorbed = bb.add(state[:, :RATE], chunk)
         state = jnp.concatenate([absorbed, state[:, RATE:]], axis=1)
-        state = permute_batch(state)
+        state = _permute_chunked(state)
     return state[:, :DIGEST_WIDTH]
 
 
@@ -54,7 +80,7 @@ def compress_level(digests: jnp.ndarray) -> jnp.ndarray:
     if n % 2:
         raise ValueError("level size must be even")
     pairs = digests.reshape(n // 2, 2 * DIGEST_WIDTH)
-    return permute_batch(pairs)[:, :DIGEST_WIDTH]
+    return _permute_chunked(pairs)[:, :DIGEST_WIDTH]
 
 
 class MerkleTree:

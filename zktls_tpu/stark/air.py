@@ -48,11 +48,11 @@ class BBCol:
         m = (int(v) % P) * bb.MONT_R % P
         return cls(jnp.full(shape, m, dtype=jnp.uint32))
 
-    def _align(self, o) -> tuple:
+    def _align(self, o):
         if isinstance(o, int):
             o = BBCol.const(o, self.arr.shape)
         if not isinstance(o, BBCol):
-            raise TypeError(f"cannot lift {type(o)} to BBCol")
+            return None  # defer to the other operand's reflected op
         a, b_ = self.arr, o.arr
         if a.ndim == 1 and b_.ndim == 2:
             a = a[:, None]
@@ -61,21 +61,21 @@ class BBCol:
         return a, b_
 
     def __add__(self, o):
-        a, b_ = self._align(o)
-        return BBCol(bb.add(a, b_))
+        ab = self._align(o)
+        return NotImplemented if ab is None else BBCol(bb.add(*ab))
     __radd__ = __add__
 
     def __sub__(self, o):
-        a, b_ = self._align(o)
-        return BBCol(bb.sub(a, b_))
+        ab = self._align(o)
+        return NotImplemented if ab is None else BBCol(bb.sub(*ab))
 
     def __rsub__(self, o):
-        a, b_ = self._align(o)
-        return BBCol(bb.sub(b_, a))
+        ab = self._align(o)
+        return NotImplemented if ab is None else BBCol(bb.sub(ab[1], ab[0]))
 
     def __mul__(self, o):
-        a, b_ = self._align(o)
-        return BBCol(bb.mul(a, b_))
+        ab = self._align(o)
+        return NotImplemented if ab is None else BBCol(bb.mul(*ab))
     __rmul__ = __mul__
 
     def __neg__(self):
@@ -157,6 +157,11 @@ class AirBuilder:
     is_transition: Any
     _fold: Callable[[Any], None]
     periodic: Sequence[Any] = ()
+    #: LogUp permutation columns (second commitment round) + the lookup
+    #: challenges sampled between the two rounds
+    perm_local: Sequence[Any] = ()
+    perm_next: Sequence[Any] = ()
+    challenges: Sequence[Any] = ()
     constraint_count: int = 0
     #: vector-API hooks, injected per backend (None = scalar fallback)
     _fold_vec: Callable[[Any], None] | None = None
@@ -208,6 +213,21 @@ class AirBuilder:
         self._fold_vec(expr)
         self.constraint_count += count
 
+    # -- extension-valued constraints (LogUp columns) --------------------
+
+    def perm_ext(self, i: int, nxt: bool = False):
+        """The i-th extension element of the permutation trace (4 base
+        columns [4i, 4i+4)) as an ExtVal."""
+        from .ext_val import ExtVal
+
+        src = self.perm_next if nxt else self.perm_local
+        return ExtVal(*src[4 * i : 4 * i + 4])
+
+    def assert_ext_zero(self, ev) -> None:
+        """Assert an extension-field expression vanishes (4 limb folds)."""
+        for limb in ev.limbs():
+            self.assert_zero(limb)
+
 
 class Air:
     """Base class for chips.  Subclasses set `width` (trace columns),
@@ -219,6 +239,11 @@ class Air:
     #: (selector multipliers included).  Bounds the quotient degree; the
     #: prover checks it fits the configured blowup.
     max_constraint_degree: int = 3
+    #: LogUp support: base-column count of the permutation trace (a multiple
+    #: of 4 — extension elements) and how many challenges to sample between
+    #: the main and permutation commitment rounds.
+    perm_width: int = 0
+    num_perm_challenges: int = 0
 
     name: str = ""
 
@@ -236,11 +261,23 @@ class Air:
         used with.  Available to eval() as builder.periodic."""
         return []
 
+    def generate_perm_trace(self, main, public_values, challenges):
+        """LogUp witness generation: given the main trace (numpy (n, width)
+        plain uint32) and the sampled Fp4 challenges, return the permutation
+        trace as plain uint32 (n, perm_width).  Called between the two
+        commitment rounds; only when perm_width > 0."""
+        raise NotImplementedError
+
     def fold_constraints_scalar(self, local: Sequence[Fp4], nxt: Sequence[Fp4],
                                 public: Sequence[int], sels: dict,
                                 alpha: Fp4, periodic: Sequence[Fp4] = (),
+                                perm_local: Sequence[Fp4] = (),
+                                perm_next: Sequence[Fp4] = (),
+                                challenges: Sequence = (),
                                 ) -> Fp4:
         """Verifier-side: same fold at the out-of-domain point ζ."""
+        from .ext_val import ExtVal
+
         acc = [Fp4(0)]
         alpha_pow = [Fp4(1)]
 
@@ -259,6 +296,9 @@ class Air:
             is_transition=sels["is_transition"],
             _fold=fold,
             periodic=list(periodic),
+            perm_local=list(perm_local),
+            perm_next=list(perm_next),
+            challenges=[ExtVal.from_fp4(c) for c in challenges],
             **scalar_vec_hooks(fold, lambda v: Fp4(v)),
         )
         self.eval(builder)

@@ -50,13 +50,20 @@ class _Row:
 
 
 def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
-                max_failures: int = 20) -> list[tuple[int, int]]:
+                max_failures: int = 20, perm_trace: np.ndarray | None = None,
+                challenges=()) -> list[tuple[int, int]]:
     """Returns [(row, constraint_index)] for every violated constraint
     (transition rows exclude the wrap; first/last-row constraints evaluated
-    only where their selector is live).  Empty list = trace satisfies AIR."""
+    only where their selector is live).  Empty list = trace satisfies AIR.
+    For LogUp AIRs pass the generated perm_trace and the Fp4 challenges."""
+    from .ext_val import ExtVal
+
     n = trace.shape[0]
     periodic = air.periodic_columns()
     failures: list[tuple[int, int]] = []
+    if perm_trace is None:
+        perm_trace = np.zeros((n, air.perm_width), dtype=np.uint32)
+    chal_vals = [ExtVal.from_fp4(c) for c in challenges]
 
     for row in range(n):
         nxt = (row + 1) % n
@@ -81,6 +88,9 @@ def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
             is_transition=_Row(is_transition),
             _fold=fold,
             periodic=[_Row(int(p[row % len(p)])) for p in periodic],
+            perm_local=[_Row(int(v)) for v in perm_trace[row]],
+            perm_next=[_Row(int(v)) for v in perm_trace[nxt]],
+            challenges=chal_vals,
             **scalar_vec_hooks(fold, lambda v: _Row(v)),
         )
         air.eval(builder)

@@ -30,6 +30,8 @@ class QueryProof:
     quotient_row: list[int]     # plain base values, blowup·4 columns
     quotient_path: list[Digest]
     fri_steps: list[FriStep]
+    perm_row: list[int] = field(default_factory=list)
+    perm_path: list[Digest] = field(default_factory=list)
 
 
 @dataclass
@@ -46,6 +48,10 @@ class StarkProof:
     fri_final: list[Fp4]
     pow_witness: int
     queries: list[QueryProof] = field(default_factory=list)
+    # LogUp second commitment round (empty when the AIR has no lookups)
+    perm_root: Digest | None = None
+    perm_local_evals: list[Fp4] = field(default_factory=list)
+    perm_next_evals: list[Fp4] = field(default_factory=list)
 
     # ------------------------------------------------------------------
 
@@ -61,6 +67,9 @@ class StarkProof:
             "quotient_root": self.quotient_root,
             "tl": [e(v) for v in self.trace_local_evals],
             "tn": [e(v) for v in self.trace_next_evals],
+            "perm_root": self.perm_root,
+            "pl": [e(v) for v in self.perm_local_evals],
+            "pn": [e(v) for v in self.perm_next_evals],
             "qe": [e(v) for v in self.quotient_evals],
             "fri_roots": self.fri_roots,
             "fri_final": [e(v) for v in self.fri_final],
@@ -72,6 +81,8 @@ class StarkProof:
                     "tp": q.trace_path,
                     "qr": q.quotient_row,
                     "qp": q.quotient_path,
+                    "pr": q.perm_row,
+                    "pp": q.perm_path,
                     "fs": [
                         {"p": [e(s.pair[0]), e(s.pair[1])], "mp": s.path}
                         for s in q.fri_steps
@@ -97,6 +108,9 @@ class StarkProof:
             quotient_root=obj["quotient_root"],
             trace_local_evals=[d(v) for v in obj["tl"]],
             trace_next_evals=[d(v) for v in obj["tn"]],
+            perm_root=obj.get("perm_root"),
+            perm_local_evals=[d(v) for v in obj.get("pl", [])],
+            perm_next_evals=[d(v) for v in obj.get("pn", [])],
             quotient_evals=[d(v) for v in obj["qe"]],
             fri_roots=obj["fri_roots"],
             fri_final=[d(v) for v in obj["fri_final"]],
@@ -108,6 +122,8 @@ class StarkProof:
                     trace_path=q["tp"],
                     quotient_row=q["qr"],
                     quotient_path=q["qp"],
+                    perm_row=q.get("pr", []),
+                    perm_path=q.get("pp", []),
                     fri_steps=[
                         FriStep(pair=(d(s["p"][0]), d(s["p"][1])), path=s["mp"])
                         for s in q["fs"]

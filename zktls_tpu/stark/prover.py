@@ -56,11 +56,17 @@ def _count_constraints(air: Air, public_values: list[int]) -> int:
     def fold(expr):
         counter[0] += 1
 
+    from .ext_val import ExtVal
+
     builder = AirBuilder(
         local=[zero] * air.width, next=[zero] * air.width,
         public=[Fp4(int(v)) for v in public_values],
         is_first_row=zero, is_last_row=zero, is_transition=zero, _fold=fold,
         periodic=[zero] * len(air.periodic_columns()),
+        perm_local=[zero] * air.perm_width,
+        perm_next=[zero] * air.perm_width,
+        challenges=[ExtVal.from_fp4(Fp4(0))
+                    for _ in range(air.num_perm_challenges)],
         **scalar_vec_hooks(fold, lambda v: Fp4(v)),
     )
     air.eval(builder)
@@ -121,10 +127,13 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
 
     from .air import AirBuilder, BBCol
 
+    from .ext_val import ExtVal
+
     @jax.jit
-    def f(lde, apow_m, public_m, is_first, is_last, is_trans, inv_zh,
-          periodic_stack):
+    def f(lde, perm_lde, chal_m, apow_m, public_m, is_first, is_last,
+          is_trans, inv_zh, periodic_stack):
         next_lde = jnp.roll(lde, -(1 << log_blowup), axis=0)
+        next_perm = jnp.roll(perm_lde, -(1 << log_blowup), axis=0)
         idx = [0]
         acc_arr = [ex.ext_zeros((N,))]
 
@@ -174,6 +183,15 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             _fold=fold,
             periodic=[BBCol(periodic_stack[i])
                       for i in range(periodic_stack.shape[0])],
+            perm_local=[BBCol(perm_lde[:, j])
+                        for j in range(perm_lde.shape[1])],
+            perm_next=[BBCol(next_perm[:, j])
+                       for j in range(perm_lde.shape[1])],
+            challenges=[
+                ExtVal(*[BBCol(jnp.broadcast_to(chal_m[i, ell], (N,)))
+                         for ell in range(4)])
+                for i in range(chal_m.shape[0])
+            ],
             _fold_vec=fold_vec,
             _group=group,
             _const_vec=const_vec,
@@ -186,37 +204,32 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
 
 
 @lru_cache(maxsize=None)
-def _deep_fn(log_N: int, w: int, n_qcols: int):
+def _deep_fn(log_N: int, w_z: int, w_gz: int):
     """Jitted DEEP composition in matvec form:
 
       Σ_j β^j (V_j(x) − v_j)  =  (Σ_j β^j V_j(x))  −  (Σ_j β^j v_j)
 
-    so each group costs 4 modular matvecs (one per extension limb) plus a
-    broadcast constant — instead of a per-column Python loop."""
+    so each opening group costs 4 modular matvecs (one per extension limb)
+    plus a broadcast constant.  The ζ-group matrix is [trace ‖ perm ‖
+    quotient] columns, the g·ζ-group is [trace ‖ perm]."""
 
     @jax.jit
-    def f(lde, q_cols, bpow_m, tl_m, tn_m, qe_m, inv_x_zeta, inv_x_gzeta):
-        N = lde.shape[0]
-        b_local = bpow_m[:w]                      # (w, 4)
-        b_next = bpow_m[w : 2 * w]
-        b_quot = bpow_m[2 * w :]                  # (n_qcols, 4)
+    def f(mat_z, mat_gz, bpow_m, ev_z, ev_gz, inv_x_zeta, inv_x_gzeta):
+        N = mat_z.shape[0]
+        b_z = bpow_m[:w_z]
+        b_gz = bpow_m[w_z : w_z + w_gz]
 
         def group_numer(mat, betas, evals):
-            # Σ_j β_j·M_j(x): per ext limb a modular matvec (N,w)·(w,)
             comb = jnp.stack(
                 [bb.dot_mod(mat, jnp.broadcast_to(betas[None, :, ell],
                                                   mat.shape), axis=1)
                  for ell in range(4)], axis=-1)     # (N, 4)
-            # Σ_j β_j·v_j: full ext product, reduced over j
-            prod = ex.ext_mul(betas[None, :, :], evals[None, :, :])  # (1,j,4)
+            prod = ex.ext_mul(betas[None, :, :], evals[None, :, :])
             const = bb.sum_mod(prod[0], axis=0)     # (4,)
             return ex.ext_sub(comb, jnp.broadcast_to(const[None, :], (N, 4)))
 
-        numer_z = ex.ext_add(
-            group_numer(lde, b_local, tl_m),
-            group_numer(q_cols, b_quot, qe_m),
-        )
-        numer_gz = group_numer(lde, b_next, tn_m)
+        numer_z = group_numer(mat_z, b_z, ev_z)
+        numer_gz = group_numer(mat_gz, b_gz, ev_gz)
         return ex.ext_add(
             ex.ext_mul(numer_z, inv_x_zeta),
             ex.ext_mul(numer_gz, inv_x_gzeta),
@@ -262,6 +275,27 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     ch.observe_many(public_values)
     ch.observe_many(trace_root)
 
+    # 1b. LogUp permutation trace (second commitment round) ----------------
+    challenges: list[Fp4] = []
+    perm_root: list[int] | None = None
+    perm_tree = None
+    if air.perm_width:
+        challenges = [ch.sample_ext()
+                      for _ in range(air.num_perm_challenges)]
+        perm_np = air.generate_perm_trace(trace, public_values, challenges)
+        if perm_np.shape != (n, air.perm_width):
+            raise ValueError("generate_perm_trace returned wrong shape")
+        perm_m = bb.to_mont(jnp.asarray(perm_np))
+        perm_lde = coset_lde(perm_m, config.log_blowup, s)
+        perm_tree = MerkleTree(perm_lde)
+        perm_root = [int(x) for x in perm_tree.root]
+        ch.observe_many(perm_root)
+    else:
+        perm_m = jnp.zeros((n, 0), jnp.uint32)
+        perm_lde = jnp.zeros((N, 0), jnp.uint32)
+    chal_m = jnp.asarray(bb.np_to_mont(np.array(
+        [c.c for c in challenges], dtype=np.uint32).reshape(-1, 4)))
+
     # 2. quotient ----------------------------------------------------------
     alpha = ch.sample_ext()
     n_constraints = _count_constraints(air, public_values)
@@ -297,7 +331,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
 
     quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
     quotient_vals = quotient_fn(
-        lde, apow_m,
+        lde, perm_lde, chal_m, apow_m,
         jnp.asarray(bb.np_to_mont(np.array(public_values, dtype=np.uint32))),
         sels_m["is_first_row"], sels_m["is_last_row"],
         sels_m["is_transition"], inv_zh_m, periodic_stack,
@@ -325,15 +359,30 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     qe = np.concatenate(
         [_ext_evals_at(c, zpows) for c in chunks], axis=0
     )  # (blowup*4, 4)
+    if air.perm_width:
+        perm_coeffs = intt(perm_m)
+        pl = _ext_evals_at(perm_coeffs, zpows)                # (pw, 4)
+        pn = _ext_evals_at(perm_coeffs, gzpows)
+    else:
+        pl = np.zeros((0, 4), dtype=np.uint32)
+        pn = np.zeros((0, 4), dtype=np.uint32)
     trace_local_evals = [Fp4(*[int(x) for x in row]) for row in tl]
     trace_next_evals = [Fp4(*[int(x) for x in row]) for row in tn]
+    perm_local_evals = [Fp4(*[int(x) for x in row]) for row in pl]
+    perm_next_evals = [Fp4(*[int(x) for x in row]) for row in pn]
     quotient_evals = [Fp4(*[int(x) for x in row]) for row in qe]
-    for v in trace_local_evals + trace_next_evals + quotient_evals:
+    for v in (trace_local_evals + trace_next_evals + perm_local_evals
+              + perm_next_evals + quotient_evals):
         ch.observe_ext(v)
 
     # 5. DEEP composition --------------------------------------------------
+    # β-power ordering: ζ-group [trace ‖ perm ‖ quotient], then g·ζ-group
+    # [trace ‖ perm] (the verifier mirrors this exactly)
     beta = ch.sample_ext()
-    n_terms = 2 * w + q_cols.shape[1]
+    pw = air.perm_width
+    w_z = w + pw + q_cols.shape[1]
+    w_gz = w + pw
+    n_terms = w_z + w_gz
     bpow = np.empty((n_terms, 4), dtype=np.uint32)
     acc = Fp4(1)
     for i in range(n_terms):
@@ -348,12 +397,15 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     inv_x_zeta = ex.ext_inv(ex.ext_sub(x_ext, zeta_arr))
     inv_x_gzeta = ex.ext_inv(ex.ext_sub(x_ext, gzeta_arr))
 
-    tl_m = jnp.asarray(bb.np_to_mont(tl))                     # (w, 4)
-    tn_m = jnp.asarray(bb.np_to_mont(tn))
-    qe_m = jnp.asarray(bb.np_to_mont(qe))
+    mat_z = jnp.concatenate([lde, perm_lde, q_cols], axis=1)
+    mat_gz = jnp.concatenate([lde, perm_lde], axis=1)
+    ev_z = jnp.asarray(bb.np_to_mont(
+        np.concatenate([tl, pl, qe], axis=0).astype(np.uint32)))
+    ev_gz = jnp.asarray(bb.np_to_mont(
+        np.concatenate([tn, pn], axis=0).astype(np.uint32)))
 
-    deep = _deep_fn(log_n + config.log_blowup, w, q_cols.shape[1])(
-        lde, q_cols, bpow_m, tl_m, tn_m, qe_m, inv_x_zeta, inv_x_gzeta
+    deep = _deep_fn(log_n + config.log_blowup, w_z, w_gz)(
+        mat_z, mat_gz, bpow_m, ev_z, ev_gz, inv_x_zeta, inv_x_gzeta
     )  # (N, 4)
 
     # 6. FRI ---------------------------------------------------------------
@@ -393,6 +445,8 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
 
     lde_plain = bb.np_from_mont(np.asarray(lde))
     q_cols_plain = bb.np_from_mont(np.asarray(q_cols))
+    perm_plain = (bb.np_from_mont(np.asarray(perm_lde))
+                  if air.perm_width else None)
     log_N = log_n + config.log_blowup
     queries = []
     for _ in range(config.num_queries):
@@ -419,6 +473,10 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
             quotient_row=[int(x) for x in q_cols_plain[q]],
             quotient_path=[[int(x) for x in d] for d in quotient_tree.open(q)],
             fri_steps=steps,
+            perm_row=([int(x) for x in perm_plain[q]]
+                      if perm_plain is not None else []),
+            perm_path=([[int(x) for x in d] for d in perm_tree.open(q)]
+                       if perm_tree is not None else []),
         ))
 
     return StarkProof(
@@ -434,4 +492,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
         fri_final=fri_final,
         pow_witness=pow_witness,
         queries=queries,
+        perm_root=perm_root,
+        perm_local_evals=perm_local_evals,
+        perm_next_evals=perm_next_evals,
     )

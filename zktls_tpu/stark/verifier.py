@@ -56,16 +56,27 @@ def verify(air: Air, proof: StarkProof,
     _check(len(proof.fri_roots) == n_layers, "bad FRI layer count")
     _check(len(proof.fri_final) == size, "bad FRI final size")
 
+    pw = air.perm_width
+    _check(len(proof.perm_local_evals) == pw, "bad perm eval count")
+    _check(len(proof.perm_next_evals) == pw, "bad perm eval count")
+    _check((proof.perm_root is not None) == bool(pw), "perm root mismatch")
+
     # --- transcript replay ------------------------------------------------
     ch = Challenger()
     ch.observe_bytes(air.name.encode())
     ch.observe(log_n)
     ch.observe_many(proof.public_values)
     ch.observe_many(proof.trace_root)
+    challenges = []
+    if pw:
+        challenges = [ch.sample_ext()
+                      for _ in range(air.num_perm_challenges)]
+        ch.observe_many(proof.perm_root)
     alpha = ch.sample_ext()
     ch.observe_many(proof.quotient_root)
     zeta = ch.sample_ext()
     for v in (proof.trace_local_evals + proof.trace_next_evals
+              + proof.perm_local_evals + proof.perm_next_evals
               + proof.quotient_evals):
         ch.observe_ext(v)
     beta = ch.sample_ext()
@@ -93,6 +104,9 @@ def verify(air: Air, proof: StarkProof,
     folded = air.fold_constraints_scalar(
         proof.trace_local_evals, proof.trace_next_evals,
         proof.public_values, sels, alpha, periodic=periodic_at_zeta,
+        perm_local=proof.perm_local_evals,
+        perm_next=proof.perm_next_evals,
+        challenges=challenges,
     )
     zeta_n = zeta**n
     q_at_zeta = Fp4(0)
@@ -122,22 +136,39 @@ def verify(air: Air, proof: StarkProof,
                         qp.quotient_path, proof.quotient_root),
             "quotient Merkle path failed",
         )
+        if pw:
+            _check(len(qp.perm_row) == pw, "bad perm row width")
+            _check(
+                verify_path(hash_row_ints([v % P for v in qp.perm_row]), q,
+                            qp.perm_path, proof.perm_root),
+                "perm Merkle path failed",
+            )
         x = Fp4(s * pow(w_N, q, P) % P)
-        # DEEP composition value from the openings
+        # DEEP composition value from the openings — β-power order matches
+        # the prover: ζ-group [trace ‖ perm ‖ quotient], g·ζ-group
+        # [trace ‖ perm]
         num_z = Fp4(0)
         bpow = Fp4(1)
         for j in range(w):
             num_z = num_z + bpow * (Fp4(qp.trace_row[j])
                                     - proof.trace_local_evals[j])
             bpow = bpow * beta
+        for j in range(pw):
+            num_z = num_z + bpow * (Fp4(qp.perm_row[j])
+                                    - proof.perm_local_evals[j])
+            bpow = bpow * beta
+        for c in range(n_qcols):
+            num_z = num_z + bpow * (Fp4(qp.quotient_row[c])
+                                    - proof.quotient_evals[c])
+            bpow = bpow * beta
         num_gz = Fp4(0)
         for j in range(w):
             num_gz = num_gz + bpow * (Fp4(qp.trace_row[j])
                                       - proof.trace_next_evals[j])
             bpow = bpow * beta
-        for c in range(n_qcols):
-            num_z = num_z + bpow * (Fp4(qp.quotient_row[c])
-                                    - proof.quotient_evals[c])
+        for j in range(pw):
+            num_gz = num_gz + bpow * (Fp4(qp.perm_row[j])
+                                      - proof.perm_next_evals[j])
             bpow = bpow * beta
         f_val = num_z / (x - zeta) + num_gz / (x - g_zeta)
 

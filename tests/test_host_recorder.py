@@ -158,3 +158,104 @@ def test_recording_is_fresh_each_time(tls_server):
     assert a.response.random != b.response.random
     assert replay_session(a.response).all_checks_pass()
     assert replay_session(b.response).all_checks_pass()
+
+
+@pytest.fixture(scope="module")
+def tls13_server(tmp_path_factory):
+    """Same loopback server but TLS 1.3 (OpenSSL default modern stack)."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    tmp = tmp_path_factory.mktemp("tls13")
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=30))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("localhost")]),
+            critical=False)
+        .sign(key, hashes.SHA256())
+    )
+    certfile = tmp / "cert.pem"
+    keyfile = tmp / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.minimum_version = ssl.TLSVersion.TLSv1_3
+    ctx.maximum_version = ssl.TLSVersion.TLSv1_3
+    ctx.load_cert_chain(certfile, keyfile)
+
+    listener = socket.create_server(("127.0.0.1", 0))
+    port = listener.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        listener.settimeout(0.5)
+        while not stop.is_set():
+            try:
+                conn, _ = listener.accept()
+            except TimeoutError:
+                continue
+            try:
+                tls = ctx.wrap_socket(conn, server_side=True)
+                data = b""
+                while b"\r\n\r\n" not in data:
+                    chunk = tls.recv(65536)
+                    if not chunk:
+                        break
+                    data += chunk
+                tls.sendall(RESPONSE)
+                tls.unwrap()
+            except Exception:
+                pass
+            finally:
+                conn.close()
+
+    thread = threading.Thread(target=serve, daemon=True)
+    thread.start()
+    yield port, str(certfile)
+    stop.set()
+    thread.join(timeout=2)
+    listener.close()
+
+
+def test_record_and_replay_tls13(tls13_server):
+    port, _ = tls13_server
+    gi = TLSInputBuilder().build_input(_request(port))
+    assert gi.response.response == RESPONSE
+    res = replay_session(gi.response)
+    assert res.all_checks_pass(), res.checks
+    assert res.version == 0x0304
+    assert res.cipher_suite.tls13
+    assert res.curve_name == "x25519"
+    assert res.checks["certificate_verify"]
+    assert res.response_plaintext == RESPONSE
+    assert res.request_plaintext == gi.request.request_info.request
+    out = run_guest(gi)
+    assert out.journal
+
+
+def test_tls13_tamper_detected(tls13_server):
+    port, _ = tls13_server
+    gi = TLSInputBuilder().build_input(_request(port))
+    from zktls_tpu.guest.replay import ReplayError
+
+    bad = bytearray(gi.response.stream)
+    bad[-25] ^= 1
+    gi.response.stream = bytes(bad)
+    # the flipped byte lands either in ciphertext (AEAD failure -> Replay-
+    # Error) or in a tape length header (framing ValueError) — both reject
+    with pytest.raises((ReplayError, ValueError)):
+        replay_session(gi.response)

@@ -31,6 +31,7 @@ from .tls import (
     CertificateChain,
     ClientHello,
     ContentType,
+    HandshakeMessage,
     HandshakeType,
     Record,
     ServerHello,
@@ -156,14 +157,17 @@ def replay_session(response: GuestInputResponse) -> ReplayResult:
     if not server_hs or server_hs[0].typ != HandshakeType.SERVER_HELLO:
         raise ReplayError("first server message is not ServerHello")
     sh = ServerHello.parse(server_hs[0].body)
-    if sh.selected_version == 0x0304:
-        raise ReplayError("TLS 1.3 replay not yet supported")
 
     suite = CIPHER_SUITES.get(sh.cipher_suite)
     if suite is None:
         raise ReplayError(f"unsupported cipher suite {sh.cipher_suite:#06x}")
     checks["suite_offered"] = sh.cipher_suite in ch.cipher_suites
 
+    if sh.selected_version == 0x0304:
+        return _replay_tls13(
+            response, rec, x25519_priv, ch_msgs[0].raw, ch, sh, suite,
+            client_records, server_records, server_hs, checks,
+        )
     return _replay_tls12(
         response, rec, tape, ch_msgs[0].raw, ch, sh, suite,
         client_records, server_records, server_hs, checks,
@@ -399,3 +403,219 @@ def _replay_tls12(
         gcm_events=gcm_events,
         checks=checks,
     )
+
+
+def _replay_tls13(
+    response: GuestInputResponse,
+    rec: SHA256Recorder,
+    x25519_priv: bytes,
+    client_hello_raw: bytes,
+    ch: ClientHello,
+    sh: ServerHello,
+    suite: CipherSuite,
+    client_records: list[Record],
+    server_records: list[Record],
+    server_hs: list,
+    checks: dict[str, bool],
+) -> ReplayResult:
+    """TLS 1.3 replay (RFC 8446): the recorded x25519 key-share scalar
+    re-derives the handshake secret; every encrypted handshake and
+    application record is re-decrypted and the CertificateVerify /
+    Finished transcript proofs re-checked."""
+    from .tls13 import Tls13KeySchedule, Tls13RecordCrypto, strip_inner_plaintext
+
+    if suite.hash != "sha256":
+        raise ReplayError("only SHA-256 suites supported so far")
+    if len(server_hs) != 1:
+        # in 1.3 only ServerHello is plaintext handshake on the server side
+        raise ReplayError("unexpected plaintext server handshake after SH")
+
+    ks_data = sh.extensions.get(51)
+    if ks_data is None:
+        raise ReplayError("ServerHello missing key_share (HRR unsupported)")
+    group = int.from_bytes(ks_data[0:2], "big")
+    klen = int.from_bytes(ks_data[2:4], "big")
+    server_share = ks_data[4 : 4 + klen]
+    if group != 29:
+        raise ReplayError(f"unsupported 1.3 group {group} (client only "
+                          "offers an x25519 share without HRR)")
+    shared = x25519(x25519_priv, server_share)
+    checks["x25519_share_consistent"] = (
+        ch.key_shares().get(29) == x25519_base(x25519_priv)
+    )
+
+    sched = Tls13KeySchedule(suite, rec)
+    sched.start(shared)
+    transcript = [client_hello_raw, server_hs[0].raw]
+
+    def thash() -> bytes:
+        h = rec.new()
+        for m in transcript:
+            h.update(m)
+        return h.digest()
+
+    sched.handshake_traffic(thash())
+    gcm_events: list[GCMEvent] = []
+    server_crypto = Tls13RecordCrypto(suite, sched.server_hs_secret, rec)
+    client_crypto = Tls13RecordCrypto(suite, sched.client_hs_secret, rec)
+
+    def _dec(crypto, r):
+        try:
+            return crypto.decrypt(r, gcm_events)
+        except ValueError as e:
+            raise ReplayError(f"1.3 record decryption failed: {e}") from e
+
+    # --- server encrypted handshake flight ---
+    decrypted: list[DecryptedRecord] = []
+    hs_buf = b""
+    ee = cert_msg = cert_verify = server_fin = None
+    chain = None
+    record_iter = iter(
+        [r for r in server_records if r.typ != ContentType.CHANGE_CIPHER_SPEC]
+    )
+    next(record_iter)  # the ServerHello record (possibly coalesced; handled)
+    response_plain = bytearray()
+    server_app_crypto = None
+    got_server_finished = False
+    app_transcript_hash = None
+
+    for r in record_iter:
+        if r.typ != ContentType.APPLICATION_DATA:
+            raise ReplayError(f"unexpected 1.3 outer record type {r.typ}")
+        plain = _dec(server_crypto if not got_server_finished
+                     else server_app_crypto, r)
+        inner_type, content = strip_inner_plaintext(plain)
+        decrypted.append(DecryptedRecord(
+            server_crypto.seq if not got_server_finished
+            else server_app_crypto.seq, inner_type, content, True))
+        if inner_type == ContentType.HANDSHAKE and not got_server_finished:
+            hs_buf += content
+            msgs, hs_buf = _drain_handshake(hs_buf)
+            for m in msgs:
+                if m.typ == HandshakeType.ENCRYPTED_EXTENSIONS:
+                    ee = m
+                elif m.typ == HandshakeType.CERTIFICATE:
+                    cert_msg = m
+                    chain = CertificateChain.parse13(m.body)
+                elif m.typ == HandshakeType.CERTIFICATE_VERIFY:
+                    # signature over the transcript through Certificate
+                    scheme = int.from_bytes(m.body[0:2], "big")
+                    sig_len = int.from_bytes(m.body[2:4], "big")
+                    sig = m.body[4 : 4 + sig_len]
+                    signed = (b" " * 64
+                              + b"TLS 1.3, server CertificateVerify"
+                              + b"\x00" + thash())
+                    from .x509 import Certificate
+
+                    try:
+                        ok = Certificate.parse(
+                            chain.der_certs[0]
+                        ).public_key_verify(scheme, signed, sig)
+                    except Exception:
+                        ok = False
+                    checks["certificate_verify"] = bool(ok)
+                    cert_verify = m
+                elif m.typ == HandshakeType.FINISHED:
+                    expect = sched.finished_verify(
+                        sched.server_hs_secret, thash())
+                    checks["server_finished"] = m.body == expect
+                    server_fin = m
+                    transcript.append(m.raw)
+                    # application secrets derive from transcript incl. SFin
+                    app_transcript_hash = thash()
+                    sched.application_traffic(app_transcript_hash)
+                    server_app_crypto = Tls13RecordCrypto(
+                        suite, sched.server_app_secret, rec)
+                    got_server_finished = True
+                    break
+                transcript.append(m.raw)
+        elif inner_type == ContentType.HANDSHAKE:
+            # post-handshake messages (NewSessionTicket, KeyUpdate unsupported)
+            for m in iter_handshake_messages(content):
+                if m.typ != HandshakeType.NEW_SESSION_TICKET:
+                    raise ReplayError(
+                        f"unsupported post-handshake message {m.typ}")
+        elif inner_type == ContentType.APPLICATION_DATA:
+            response_plain += content
+        elif inner_type == ContentType.ALERT:
+            break
+    if ee is None or cert_msg is None or cert_verify is None or \
+            server_fin is None:
+        raise ReplayError("incomplete 1.3 server flight")
+
+    # --- client Finished ---
+    cfin_records = [r for r in client_records[1:]
+                    if r.typ == ContentType.APPLICATION_DATA]
+    if not cfin_records:
+        raise ReplayError("client Finished missing")
+    plain = _dec(client_crypto, cfin_records[0])
+    inner_type, content = strip_inner_plaintext(plain)
+    if inner_type != ContentType.HANDSHAKE:
+        raise ReplayError("first client 1.3 record is not handshake")
+    cfin = iter_handshake_messages(content)[0]
+    expect = sched.finished_verify(sched.client_hs_secret, thash())
+    checks["client_finished"] = cfin.body == expect
+    decrypted.append(DecryptedRecord(0, inner_type, content, False))
+
+    # --- client application data ---
+    client_app_crypto = Tls13RecordCrypto(
+        suite, sched.client_app_secret, rec)
+    request_plain = bytearray()
+    for r in cfin_records[1:]:
+        plain = _dec(client_app_crypto, r)
+        inner_type, content = strip_inner_plaintext(plain)
+        decrypted.append(DecryptedRecord(
+            client_app_crypto.seq, inner_type, content, False))
+        if inner_type == ContentType.APPLICATION_DATA:
+            request_plain += content
+
+    checks["response_matches_tape"] = bytes(response_plain) == response.response
+    for i, (b, ln, content) in enumerate(zip(
+        response.filtered_responses_begin,
+        response.filtered_responses_length,
+        response.filtered_responses,
+    )):
+        checks[f"filtered_response_{i}"] = (
+            bytes(response_plain[b : b + ln]) == content
+        )
+
+    return ReplayResult(
+        version=0x0304,
+        cipher_suite=suite,
+        curve_name="x25519",
+        client_random=ch.client_random,
+        server_random=sh.server_random,
+        premaster_secret=shared,
+        master_secret=sched.master_secret,
+        session_hash=app_transcript_hash or b"",
+        client_write_key=client_app_crypto.key,
+        server_write_key=(server_app_crypto.key
+                          if server_app_crypto else b""),
+        client_iv=client_app_crypto.iv,
+        server_iv=server_app_crypto.iv if server_app_crypto else b"",
+        client_finished_ok=checks.get("client_finished", False),
+        server_finished_ok=checks.get("server_finished", False),
+        skx_signature_ok=checks.get("certificate_verify"),
+        certificate_chain=chain.der_certs,
+        request_plaintext=bytes(request_plain),
+        response_plaintext=bytes(response_plain),
+        records=decrypted,
+        handshake_transcript=transcript,
+        sha256_recorder=rec,
+        gcm_events=gcm_events,
+        checks=checks,
+    )
+
+
+def _drain_handshake(buf: bytes):
+    """Split complete handshake messages off the front of buf."""
+    msgs = []
+    pos = 0
+    while pos + 4 <= len(buf):
+        ln = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        if pos + 4 + ln > len(buf):
+            break
+        raw = buf[pos : pos + 4 + ln]
+        msgs.append(HandshakeMessage(buf[pos], raw[4:], raw))
+        pos += 4 + ln
+    return msgs, buf[pos:]

@@ -231,6 +231,24 @@ class CertificateChain:
             pos += 3 + ln
         return cls(certs)
 
+    @classmethod
+    def parse13(cls, body: bytes) -> "CertificateChain":
+        """TLS 1.3 Certificate (RFC 8446 §4.4.2): request context +
+        CertificateEntry list (each cert ‖ extensions)."""
+        ctx_len = body[0]
+        pos = 1 + ctx_len
+        total = int.from_bytes(body[pos : pos + 3], "big")
+        pos += 3
+        end = pos + total
+        certs = []
+        while pos < end:
+            ln = int.from_bytes(body[pos : pos + 3], "big")
+            certs.append(body[pos + 3 : pos + 3 + ln])
+            pos += 3 + ln
+            ext_len = int.from_bytes(body[pos : pos + 2], "big")
+            pos += 2 + ext_len
+        return cls(certs)
+
 
 @dataclass(frozen=True)
 class CipherSuite:

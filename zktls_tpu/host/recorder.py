@@ -121,8 +121,10 @@ class _RecordingSocket:
 # ClientHello construction
 # ---------------------------------------------------------------------------
 
-_OFFERED_SUITES = [0xC02B, 0xC02C, 0xCCA9, 0xC02F, 0xC030, 0xCCA8,
-                   0x1301, 0x1302, 0x1303]
+# The recorded rustls offers the SHA-384 suites (c02c/c030/1302) too; this
+# client omits them until the SHA-384 schedule lands — a client must not
+# offer a suite it cannot complete.
+_OFFERED_SUITES = [0xC02B, 0xCCA9, 0xC02F, 0xCCA8, 0x1301, 0x1303]
 _SIG_ALGS = [0x0403, 0x0503, 0x0807, 0x0804, 0x0805, 0x0806,
              0x0401, 0x0501, 0x0601]
 _GROUPS = [29, 23, 24]  # x25519, P-256, P-384
@@ -208,7 +210,7 @@ def _handshake_and_exchange(sock: _RecordingSocket, rng: _RecordingRng,
     sock.write(_record(ContentType.HANDSHAKE, ch, b"\x03\x01"))
     transcript = [ch]
 
-    # --- server flight through ServerHelloDone ---
+    # --- server flight through ServerHelloDone (or TLS 1.3 branch) ---
     hs_buf = b""
     sh: ServerHello | None = None
     msgs = []
@@ -223,8 +225,8 @@ def _handshake_and_exchange(sock: _RecordingSocket, rng: _RecordingRng,
         if msgs and sh is None and msgs[0].typ == HandshakeType.SERVER_HELLO:
             sh = ServerHello.parse(msgs[0].body)
             if sh.selected_version == 0x0304:
-                raise RecordingError(
-                    "server selected TLS 1.3 (recording not yet supported)")
+                return _handshake13(sock, sh, msgs[0].raw, ch, x25519_priv,
+                                    request_bytes, pinned_time, rng)
         if any(m.typ == HandshakeType.SERVER_HELLO_DONE for m in msgs):
             break
     if sh is None:
@@ -382,3 +384,118 @@ def _complete(hs_buf: bytes) -> bool:
         ln = int.from_bytes(hs_buf[pos + 1 : pos + 4], "big")
         pos += 4 + ln
     return pos == len(hs_buf)
+
+
+def _handshake13(sock: _RecordingSocket, sh: ServerHello, sh_raw: bytes,
+                 ch_raw: bytes, x25519_priv: bytes, request_bytes: bytes,
+                 pinned_time: str, rng: _RecordingRng) -> RecordedSession:
+    """TLS 1.3 client (RFC 8446): x25519 key exchange from the recorded
+    scalar, HKDF schedule, encrypted flight verification, then the request."""
+    from ..guest.crypto.x25519 import x25519 as _x25519
+    from ..guest.tls13 import (
+        Tls13KeySchedule,
+        Tls13RecordCrypto,
+        strip_inner_plaintext,
+    )
+
+    suite = CIPHER_SUITES.get(sh.cipher_suite)
+    if suite is None or not suite.tls13 or suite.hash != "sha256":
+        raise RecordingError(f"unsupported 1.3 suite {sh.cipher_suite:#06x}")
+    ks_data = sh.extensions.get(51)
+    if ks_data is None:
+        raise RecordingError("ServerHello missing key_share (HRR unsupported)")
+    group = int.from_bytes(ks_data[0:2], "big")
+    server_share = ks_data[4:]
+    if group != 29:
+        raise RecordingError(f"server picked group {group}; only the x25519 "
+                             "share is offered")
+    shared = _x25519(x25519_priv, server_share)
+
+    sched = Tls13KeySchedule(suite)
+    sched.start(shared)
+    transcript = [ch_raw, sh_raw]
+
+    def thash() -> bytes:
+        h = SHA256()
+        for m in transcript:
+            h.update(m)
+        return h.digest()
+
+    sched.handshake_traffic(thash())
+    server_crypto = Tls13RecordCrypto(suite, sched.server_hs_secret)
+    client_crypto = Tls13RecordCrypto(suite, sched.client_hs_secret)
+
+    # --- encrypted server flight through Finished ---
+    hs_buf = b""
+    finished = False
+    while not finished:
+        r = _read_record(sock)
+        if r.typ == ContentType.CHANGE_CIPHER_SPEC:
+            continue
+        if r.typ == ContentType.ALERT:
+            raise RecordingError(f"server alert: {r.payload.hex()}")
+        if r.typ != ContentType.APPLICATION_DATA:
+            raise RecordingError(f"unexpected record type {r.typ}")
+        inner_type, content = strip_inner_plaintext(server_crypto.decrypt(r))
+        if inner_type == ContentType.ALERT:
+            raise RecordingError(f"server alert: {content.hex()}")
+        if inner_type != ContentType.HANDSHAKE:
+            raise RecordingError("unexpected early application data")
+        hs_buf += content
+        while len(hs_buf) >= 4:
+            ln = int.from_bytes(hs_buf[1:4], "big")
+            if 4 + ln > len(hs_buf):
+                break
+            raw, hs_buf = hs_buf[: 4 + ln], hs_buf[4 + ln :]
+            typ = raw[0]
+            if typ == HandshakeType.FINISHED:
+                expect = sched.finished_verify(sched.server_hs_secret, thash())
+                if raw[4:] != expect:
+                    raise RecordingError("server Finished mismatch")
+                transcript.append(raw)
+                finished = True
+                break
+            transcript.append(raw)
+
+    app_hash = thash()
+    sched.application_traffic(app_hash)
+    server_app = Tls13RecordCrypto(suite, sched.server_app_secret)
+    client_app = Tls13RecordCrypto(suite, sched.client_app_secret)
+
+    # --- client CCS (middlebox compat) + Finished ---
+    verify = sched.finished_verify(sched.client_hs_secret, thash())
+    fin = bytes([HandshakeType.FINISHED]) + len(verify).to_bytes(3, "big") \
+        + verify
+    sock.write(_record(ContentType.CHANGE_CIPHER_SPEC, b"\x01"))
+    inner = fin + bytes([ContentType.HANDSHAKE])
+    sock.write(_record(ContentType.APPLICATION_DATA,
+                       client_crypto.encrypt(inner)))
+
+    # --- application data ---
+    inner = request_bytes + bytes([ContentType.APPLICATION_DATA])
+    sock.write(_record(ContentType.APPLICATION_DATA,
+                       client_app.encrypt(inner)))
+    response = bytearray()
+    while True:
+        try:
+            r = _read_record(sock)
+        except RecordingError:
+            break
+        if r.typ == ContentType.CHANGE_CIPHER_SPEC:
+            continue
+        if r.typ != ContentType.APPLICATION_DATA:
+            break
+        inner_type, content = strip_inner_plaintext(server_app.decrypt(r))
+        if inner_type == ContentType.APPLICATION_DATA:
+            response += content
+        elif inner_type == ContentType.ALERT:
+            break
+        # NewSessionTicket and other post-handshake messages: recorded on
+        # the tape, skipped here
+
+    return RecordedSession(
+        time=pinned_time,
+        stream=sock.tape(),
+        random=bytes(rng.log),
+        response=bytes(response),
+    )

@@ -29,23 +29,27 @@ __all__ = [
     "mul", "mul_plain", "pow_const", "inv", "sum_mod", "dot_mod",
 ]
 
-P = jnp.uint32(_P_INT)
-_NPRIME_INT = (-pow(_P_INT, -1, 1 << 32)) % (1 << 32)  # -p^-1 mod 2^32
-NPRIME = jnp.uint32(_NPRIME_INT)
+# NOTE: kept as plain Python ints (weak-typed literals) rather than device
+# scalars so Pallas kernels using these ops don't capture device constants.
+P = _P_INT
+NPRIME = (-pow(_P_INT, -1, 1 << 32)) % (1 << 32)  # -p^-1 mod 2^32
 MONT_R = (1 << 32) % _P_INT
 MONT_R2 = (MONT_R * MONT_R) % _P_INT
 
-_U16 = jnp.uint32(0xFFFF)
+_U16 = 0xFFFF
 
 
 def _mul64(a, b):
-    """Full 32×32→64 product as (hi, lo) uint32 pairs, via 16-bit limbs."""
-    a = a.astype(jnp.uint32)
-    b = b.astype(jnp.uint32)
+    """Full 32×32→64 product as (hi, lo) uint32 pairs, via 16-bit limbs.
+    `a` must be a uint32 array; `b` may be an array or a static int (static
+    operands stay Python literals so Pallas kernels capture no constants)."""
     a0 = a & _U16
     a1 = a >> 16
-    b0 = b & _U16
-    b1 = b >> 16
+    if isinstance(b, int):
+        b0, b1 = b & 0xFFFF, b >> 16
+    else:
+        b0 = b & _U16
+        b1 = b >> 16
     ll = a0 * b0          # < 2^32, exact
     lh = a0 * b1
     hl = a1 * b0

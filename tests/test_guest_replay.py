@@ -124,3 +124,30 @@ def test_keccak256_vectors():
     assert keccak256(b"abc").hex() == (
         "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
     )
+
+
+def test_origin_signature_roundtrip(legacy):
+    """Sign a request with a known key; the guest recovers the address."""
+    from zktls_tpu.guest.crypto.ec import SECP256K1
+    from zktls_tpu.guest.crypto.keccak import keccak256
+    from zktls_tpu.guest.origin import recover_origin_signer, sign_origin
+    from zktls_tpu.core.types import RequestOrigin
+
+    gi = legacy.to_guest_input()
+    priv = 0xA1B2C3D4E5F60718293A4B5C6D7E8F90A1B2C3D4E5F60718293A4B5C6D7E8F90
+    gi.request.origin = RequestOrigin(type="secp256k1", signature=b"\x00" * 65,
+                                      nonce=7)
+    sig = sign_origin(gi.request, priv)
+    gi.request.origin.signature = sig
+    pub = SECP256K1.mul(priv, SECP256K1.g)
+    want = keccak256(pub[0].to_bytes(32, "big")
+                     + pub[1].to_bytes(32, "big"))[12:]
+    assert recover_origin_signer(gi.request) == want
+    # journal carries the recovered signer
+    out = run_guest(gi)
+    j = decode_journal(out.journal)
+    assert j["origin_signer"] == want
+    assert j["nonce"] == 7
+    # a different nonce changes the digest -> different recovered signer
+    gi.request.origin.nonce = 8
+    assert recover_origin_signer(gi.request) != want

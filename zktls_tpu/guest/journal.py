@@ -19,6 +19,7 @@ with `abi.decode`.  Layout (JOURNAL_VERSION 1):
     bytes32 prover_id,
     uint64  submit_network_id,
     uint64  nonce,               // request.origin
+    address origin_signer,       // recovered from the origin signature
     bytes32 root_spki_sha256,    // trust anchor fingerprint of the chain
     uint64[] filtered_begins,
     uint64[] filtered_lengths,
@@ -115,7 +116,8 @@ def abi_encode(items: list[tuple[str, object]]) -> bytes:
 
 
 def encode_journal(guest_input: GuestInput, *, response_plaintext: bytes,
-                   root_spki_sha256: bytes) -> bytes:
+                   root_spki_sha256: bytes,
+                   origin_signer: bytes = b"\x00" * 20) -> bytes:
     req = guest_input.request
     resp = guest_input.response
     sec, _nanos = parse_time(resp.time)
@@ -131,6 +133,7 @@ def encode_journal(guest_input: GuestInput, *, response_plaintext: bytes,
         ("bytes32", target.prover_id if target else b"\x00" * 32),
         ("uint64", target.submit_network_id if target else 0),
         ("uint64", origin.nonce if origin else 0),
+        ("address", origin_signer),
         ("bytes32", root_spki_sha256),
         ("uint64[]", list(resp.filtered_responses_begin)),
         ("uint64[]", list(resp.filtered_responses_length)),
@@ -175,8 +178,9 @@ def decode_journal(journal: bytes) -> dict:
         "prover_id": word(6),
         "submit_network_id": uint(7),
         "nonce": uint(8),
-        "root_spki_sha256": word(9),
-        "filtered_begins": uint_array(uint(10)),
-        "filtered_lengths": uint_array(uint(11)),
-        "filtered_contents": bytes_array(uint(12)),
+        "origin_signer": word(9)[12:],
+        "root_spki_sha256": word(10),
+        "filtered_begins": uint_array(uint(11)),
+        "filtered_lengths": uint_array(uint(12)),
+        "filtered_contents": bytes_array(uint(13)),
     }

@@ -53,9 +53,13 @@ def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
     if expected_request and replay.request_plaintext != expected_request:
         raise ReplayError("decrypted request does not match attested request")
 
+    from .origin import recover_origin_signer
+
+    origin_signer = recover_origin_signer(guest_input.request)
     journal = encode_journal(
         guest_input,
         response_plaintext=replay.response_plaintext,
         root_spki_sha256=bytes.fromhex(chain["root_spki_sha256"]),
+        origin_signer=origin_signer,
     )
     return GuestOutput(journal=journal, replay=replay, chain=chain)

@@ -1,0 +1,135 @@
+/* Native scalar Poseidon2 over Baby-Bear — the host-side hashing hot loop.
+ *
+ * The verifier and Fiat-Shamir challenger perform thousands of sequential
+ * width-16 permutations per proof (Merkle path checks, transcript sponge) —
+ * strictly serial work that belongs on the host CPU, mirroring the
+ * reference's native host components (risc0-sys C++ field kernels,
+ * SURVEY.md §2.2.C).  Parameters are injected once from Python (the
+ * framework's deterministically generated instance) so C and Python always
+ * agree.
+ *
+ * Built with:  cc -O3 -shared -fPIC poseidon2.c -o libzktls_native.so
+ * Loaded via ctypes (zktls_tpu/utils/native.py); pure-Python fallback when
+ * the toolchain is unavailable.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#define P 2013265921u
+#define MAX_WIDTH 24
+#define MAX_RF 8
+#define MAX_RP 32
+
+static uint32_t g_width, g_rf, g_rp;
+static uint32_t g_ext_rc[MAX_RF][MAX_WIDTH];
+static uint32_t g_int_rc[MAX_RP];
+static uint32_t g_diag[MAX_WIDTH];
+
+static inline uint32_t addm(uint32_t a, uint32_t b) {
+    uint32_t s = a + b;            /* both < P < 2^31: no overflow */
+    return s >= P ? s - P : s;
+}
+
+static inline uint32_t mulm(uint32_t a, uint32_t b) {
+    return (uint32_t)(((uint64_t)a * b) % P);
+}
+
+static inline uint32_t sbox7(uint32_t x) {
+    uint32_t x2 = mulm(x, x);
+    uint32_t x4 = mulm(x2, x2);
+    return mulm(mulm(x4, x2), x);
+}
+
+static void external_matrix(uint32_t *s) {
+    uint32_t sums[4] = {0, 0, 0, 0};
+    uint32_t tmp[MAX_WIDTH];
+    for (uint32_t i = 0; i < g_width; i += 4) {
+        uint32_t x0 = s[i], x1 = s[i + 1], x2 = s[i + 2], x3 = s[i + 3];
+        uint32_t t = addm(addm(x0, x1), addm(x2, x3));
+        uint32_t y0 = addm(t, addm(x0, addm(x1, x1)));
+        uint32_t y1 = addm(t, addm(x1, addm(x2, x2)));
+        uint32_t y2 = addm(t, addm(x2, addm(x3, x3)));
+        uint32_t y3 = addm(t, addm(x3, addm(x0, x0)));
+        tmp[i] = y0; tmp[i + 1] = y1; tmp[i + 2] = y2; tmp[i + 3] = y3;
+        sums[0] = addm(sums[0], y0);
+        sums[1] = addm(sums[1], y1);
+        sums[2] = addm(sums[2], y2);
+        sums[3] = addm(sums[3], y3);
+    }
+    for (uint32_t i = 0; i < g_width; i++)
+        s[i] = addm(tmp[i], sums[i & 3]);
+}
+
+int p2_set_params(uint32_t width, uint32_t rf, uint32_t rp,
+                  const uint32_t *ext_rc, const uint32_t *int_rc,
+                  const uint32_t *diag) {
+    if (width > MAX_WIDTH || (width & 3) || rf > MAX_RF || rp > MAX_RP)
+        return -1;
+    g_width = width; g_rf = rf; g_rp = rp;
+    for (uint32_t r = 0; r < rf; r++)
+        memcpy(g_ext_rc[r], ext_rc + r * width, width * sizeof(uint32_t));
+    memcpy(g_int_rc, int_rc, rp * sizeof(uint32_t));
+    memcpy(g_diag, diag, width * sizeof(uint32_t));
+    return 0;
+}
+
+void p2_permute(uint32_t *s) {
+    uint32_t half = g_rf / 2;
+    external_matrix(s);
+    for (uint32_t r = 0; r < half; r++) {
+        for (uint32_t i = 0; i < g_width; i++)
+            s[i] = sbox7(addm(s[i], g_ext_rc[r][i]));
+        external_matrix(s);
+    }
+    for (uint32_t r = 0; r < g_rp; r++) {
+        s[0] = sbox7(addm(s[0], g_int_rc[r]));
+        uint32_t tot = 0;
+        for (uint32_t i = 0; i < g_width; i++)
+            tot = addm(tot, s[i]);
+        for (uint32_t i = 0; i < g_width; i++)
+            s[i] = addm(tot, mulm(s[i], g_diag[i]));
+    }
+    for (uint32_t r = half; r < g_rf; r++) {
+        for (uint32_t i = 0; i < g_width; i++)
+            s[i] = sbox7(addm(s[i], g_ext_rc[r][i]));
+        external_matrix(s);
+    }
+}
+
+/* Batch helpers ---------------------------------------------------------- */
+
+void p2_permute_batch(uint32_t *states, size_t n) {
+    for (size_t i = 0; i < n; i++)
+        p2_permute(states + i * g_width);
+}
+
+/* Sponge-hash rows of `row_width` values (rate 8, capacity 8, width 16)
+ * into 8-element digests — the Merkle leaf hash. */
+void p2_hash_rows(const uint32_t *rows, size_t n, size_t row_width,
+                  uint32_t *digests) {
+    size_t n_blocks = (row_width + 7) / 8;
+    for (size_t i = 0; i < n; i++) {
+        uint32_t state[16] = {0};
+        for (size_t blk = 0; blk < n_blocks; blk++) {
+            for (size_t j = 0; j < 8; j++) {
+                size_t col = blk * 8 + j;
+                if (col < row_width)
+                    state[j] = addm(state[j], rows[i * row_width + col]);
+            }
+            p2_permute(state);
+        }
+        memcpy(digests + i * 8, state, 8 * sizeof(uint32_t));
+    }
+}
+
+/* 2-to-1 compression of sibling digest pairs. */
+void p2_compress_pairs(const uint32_t *pairs, size_t n, uint32_t *out) {
+    for (size_t i = 0; i < n; i++) {
+        uint32_t state[16];
+        memcpy(state, pairs + i * 16, 16 * sizeof(uint32_t));
+        p2_permute(state);
+        memcpy(out + i * 8, state, 8 * sizeof(uint32_t));
+    }
+}

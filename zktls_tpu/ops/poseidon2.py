@@ -128,15 +128,26 @@ def _external_matrix(state: list[int]) -> list[int]:
 
 
 class Poseidon2:
-    """Host-side scalar Poseidon2 (plain-form ints)."""
+    """Host-side scalar Poseidon2 (plain-form ints).  Routes through the
+    native C kernel when available (same injected parameters, ~100×
+    faster — the verifier/challenger hot loop)."""
 
     def __init__(self, width: int = 16):
         self.params = get_params(width)
+        self._native = None
+        if width == 16:
+            from ..utils.native import get_native
+
+            self._native = get_native()
 
     def permute_ints(self, state: list[int]) -> list[int]:
         p = self.params
         if len(state) != p.width:
             raise ValueError(f"state width must be {p.width}")
+        if self._native is not None:
+            out = self._native.permute_batch(
+                np.array([state], dtype=np.uint32))
+            return [int(x) for x in out[0]]
         s = [x % P for x in state]
         half = p.rf // 2
         s = _external_matrix(s)  # initial linear layer (paper §3)

@@ -1,0 +1,120 @@
+"""Loader for the native host-side kernels (native/*.c via ctypes).
+
+Builds libzktls_native.so on first use with the system C compiler (cached
+next to the sources); every consumer falls back to the pure-Python path
+when the toolchain or the build is unavailable, so the framework never
+hard-depends on native code — it just gets ~100× faster host hashing
+(verifier Merkle paths, challenger) when present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+__all__ = ["get_native", "native_available"]
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libzktls_native.so"
+_SRC = _NATIVE_DIR / "poseidon2.c"
+
+_lib = None
+_load_failed = False
+
+
+def _build() -> bool:
+    if os.environ.get("ZKTLS_NO_NATIVE"):
+        return False
+    if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_SO_PATH)],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _build():
+            _load_failed = True
+            return None
+        lib = ctypes.CDLL(str(_SO_PATH))
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.p2_set_params.argtypes = [ctypes.c_uint32] * 3 + [u32p] * 3
+        lib.p2_set_params.restype = ctypes.c_int
+        lib.p2_permute_batch.argtypes = [u32p, ctypes.c_size_t]
+        lib.p2_hash_rows.argtypes = [u32p, ctypes.c_size_t, ctypes.c_size_t,
+                                     u32p]
+        lib.p2_compress_pairs.argtypes = [u32p, ctypes.c_size_t, u32p]
+
+        from ..ops.poseidon2 import get_params
+
+        p = get_params(16)
+        ext = np.ascontiguousarray(np.array(p.external_rc, dtype=np.uint32))
+        irc = np.ascontiguousarray(np.array(p.internal_rc, dtype=np.uint32))
+        diag = np.ascontiguousarray(np.array(p.diag, dtype=np.uint32))
+        rc = lib.p2_set_params(
+            16, p.rf, p.rp,
+            ext.ctypes.data_as(u32p), irc.ctypes.data_as(u32p),
+            diag.ctypes.data_as(u32p),
+        )
+        if rc != 0:
+            _load_failed = True
+            return None
+        _lib = lib
+    except Exception:
+        _load_failed = True
+        return None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class _Native:
+    """numpy-typed wrappers over the C entry points (width-16 instance)."""
+
+    def permute_batch(self, states: np.ndarray) -> np.ndarray:
+        lib = _load()
+        out = np.ascontiguousarray(states, dtype=np.uint32).copy()
+        lib.p2_permute_batch(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), out.shape[0])
+        return out
+
+    def hash_rows(self, rows: np.ndarray) -> np.ndarray:
+        lib = _load()
+        rows = np.ascontiguousarray(rows, dtype=np.uint32)
+        n, w = rows.shape
+        out = np.zeros((n, 8), dtype=np.uint32)
+        lib.p2_hash_rows(
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out
+
+    def compress_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        lib = _load()
+        pairs = np.ascontiguousarray(pairs, dtype=np.uint32)
+        n = pairs.shape[0]
+        out = np.zeros((n, 8), dtype=np.uint32)
+        lib.p2_compress_pairs(
+            pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out
+
+
+def get_native() -> _Native | None:
+    return _Native() if native_available() else None

@@ -40,73 +40,110 @@ WIDTH = 16
 CHUNK = int(os.environ.get("ZKTLS_MERKLE_CHUNK", "8192"))
 
 
-def _permute_chunked(states: jnp.ndarray) -> jnp.ndarray:
-    """Width-16 permutation of (M, 16), executed in fixed-(CHUNK, 16)
-    slices so only one program shape is ever compiled."""
-    m = states.shape[0]
-    if m == CHUNK:
-        return permute_batch(states)
-    outs = []
-    for start in range(0, m, CHUNK):
-        part = states[start : start + CHUNK]
-        if part.shape[0] < CHUNK:
-            pad = jnp.zeros((CHUNK - part.shape[0], WIDTH), jnp.uint32)
-            part = jnp.concatenate([part, pad], axis=0)
-            outs.append(permute_batch(part)[: m - start])
-        else:
-            outs.append(permute_batch(part))
-    return jnp.concatenate(outs, axis=0)
+from functools import lru_cache
+
+import jax
+
+
+@lru_cache(maxsize=None)
+def _hash_chunk_fn(w: int):
+    """One compiled program per row width: the FULL sponge over a
+    (CHUNK, w) slice — a single device dispatch per chunk (remote dispatch
+    and compile latency both matter on the tunneled TPU)."""
+
+    @jax.jit
+    def f(rows):
+        n_blocks = -(-w // RATE)
+        state = jnp.zeros((CHUNK, WIDTH), dtype=jnp.uint32)
+        for i in range(n_blocks):
+            chunk = rows[:, i * RATE : (i + 1) * RATE]
+            if chunk.shape[1] < RATE:
+                pad = jnp.zeros((CHUNK, RATE - chunk.shape[1]), jnp.uint32)
+                chunk = jnp.concatenate([chunk, pad], axis=1)
+            absorbed = bb.add(state[:, :RATE], chunk)
+            state = jnp.concatenate([absorbed, state[:, RATE:]], axis=1)
+            state = permute_batch(state)
+        return state[:, :DIGEST_WIDTH]
+
+    return f
 
 
 def hash_rows(rows: jnp.ndarray) -> jnp.ndarray:
     """Hash each row of (N, W) to an (N, 8) digest (Montgomery in/out)."""
     n, w = rows.shape
-    n_blocks = -(-w // RATE)
-    state = jnp.zeros((n, WIDTH), dtype=jnp.uint32)
-    for i in range(n_blocks):
-        chunk = rows[:, i * RATE : (i + 1) * RATE]
-        if chunk.shape[1] < RATE:
-            pad = jnp.zeros((n, RATE - chunk.shape[1]), dtype=jnp.uint32)
-            chunk = jnp.concatenate([chunk, pad], axis=1)
-        absorbed = bb.add(state[:, :RATE], chunk)
-        state = jnp.concatenate([absorbed, state[:, RATE:]], axis=1)
-        state = _permute_chunked(state)
-    return state[:, :DIGEST_WIDTH]
+    fn = _hash_chunk_fn(w)
+    if n == CHUNK:
+        return fn(rows)
+    outs = []
+    for start in range(0, n, CHUNK):
+        part = rows[start : start + CHUNK]
+        if part.shape[0] < CHUNK:
+            part = jnp.concatenate(
+                [part, jnp.zeros((CHUNK - part.shape[0], w), jnp.uint32)],
+                axis=0)
+            outs.append(fn(part)[: n - start])
+        else:
+            outs.append(fn(part))
+    return jnp.concatenate(outs, axis=0)
+
+
+@jax.jit
+def _compress_chunk(pairs: jnp.ndarray) -> jnp.ndarray:
+    return permute_batch(pairs)[:, :DIGEST_WIDTH]
 
 
 def compress_level(digests: jnp.ndarray) -> jnp.ndarray:
-    """(2k, 8) sibling digests -> (k, 8) parents."""
+    """(2k, 8) sibling digests -> (k, 8) parents (permute(l ‖ r)[:8])."""
     n = digests.shape[0]
     if n % 2:
         raise ValueError("level size must be even")
     pairs = digests.reshape(n // 2, 2 * DIGEST_WIDTH)
-    return _permute_chunked(pairs)[:, :DIGEST_WIDTH]
+    k = pairs.shape[0]
+    if k == CHUNK:
+        return _compress_chunk(pairs)
+    outs = []
+    for start in range(0, k, CHUNK):
+        part = pairs[start : start + CHUNK]
+        if part.shape[0] < CHUNK:
+            part = jnp.concatenate(
+                [part, jnp.zeros((CHUNK - part.shape[0], WIDTH), jnp.uint32)],
+                axis=0)
+            outs.append(_compress_chunk(part)[: k - start])
+        else:
+            outs.append(_compress_chunk(part))
+    return jnp.concatenate(outs, axis=0)
 
 
 class MerkleTree:
     """Bottom-up tree over row digests; retains every level for openings.
 
     Layout: level[0] = leaf digests (natural row order), level[k] halves
-    level[k-1] by compressing adjacent pairs (2i, 2i+1)."""
+    level[k-1] by compressing adjacent pairs (2i, 2i+1).  Finished levels
+    are pulled to host (plain form) once, so root/open() cost no device
+    round-trips — query assembly opens hundreds of paths."""
 
     def __init__(self, rows: jnp.ndarray):
         n = rows.shape[0]
         if n & (n - 1):
             raise ValueError("leaf count must be a power of two")
-        self.levels = [hash_rows(rows)]
-        while self.levels[-1].shape[0] > 1:
-            self.levels.append(compress_level(self.levels[-1]))
+        device_levels = [hash_rows(rows)]
+        while device_levels[-1].shape[0] > 1:
+            device_levels.append(compress_level(device_levels[-1]))
+        self.levels = device_levels  # Montgomery, device (for reuse)
+        self.levels_np = [
+            bb.np_from_mont(np.asarray(level)) for level in device_levels
+        ]
 
     @property
     def root(self) -> np.ndarray:
         """Root digest as plain-form numpy (8,)."""
-        return np.asarray(bb.from_mont(self.levels[-1][0]))
+        return self.levels_np[-1][0]
 
     def open(self, index: int) -> list[np.ndarray]:
         """Sibling path (plain form) for a leaf index."""
         path = []
-        for level in self.levels[:-1]:
-            path.append(np.asarray(bb.from_mont(level[index ^ 1])))
+        for level in self.levels_np[:-1]:
+            path.append(level[index ^ 1])
             index >>= 1
         return path
 

@@ -73,13 +73,17 @@ def _count_constraints(air: Air, public_values: list[int]) -> int:
     return counter[0]
 
 
+@jax.jit
+def _ext_evals_jit(coeffs: jnp.ndarray, zpows: jnp.ndarray) -> jnp.ndarray:
+    prod = bb.mul(coeffs[:, :, None], zpows[:, None, :])  # (n, C, 4)
+    return bb.sum_mod(prod, axis=0)  # (C, 4)
+
+
 def _ext_evals_at(coeffs: jnp.ndarray, zpows: jnp.ndarray) -> np.ndarray:
     """Evaluate base-coefficient polynomials at an extension point.
     coeffs (n, C) Montgomery, zpows (n, 4) Montgomery powers of the point.
     Returns (C, 4) plain-form numpy."""
-    prod = bb.mul(coeffs[:, :, None], zpows[:, None, :])  # (n, C, 4)
-    out = bb.sum_mod(prod, axis=0)  # (C, 4)
-    return bb.np_from_mont(np.asarray(out))
+    return bb.np_from_mont(np.asarray(_ext_evals_jit(coeffs, zpows)))
 
 
 def _zeta_powers(zeta: Fp4, n: int) -> jnp.ndarray:

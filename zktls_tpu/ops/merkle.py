@@ -3,7 +3,7 @@
 Replaces the reference's Merkle commit kernels (Plonky3 p3-merkle-tree /
 risc0-zkp Merkle with Poseidon2 hash suite, SURVEY.md §2.2).  Scheme:
 
-  * leaf = sponge-hash of a matrix row (rate 8, capacity 8, width-16
+  * leaf = sponge-hash of a matrix row (rate 16, capacity 8, width-24
     permutation; zero-padded final block, digest = first 8 lanes);
   * node = 2-to-1 compression: permute(left ‖ right), first 8 lanes;
   * layers are halved bottom-up with one batched permutation call per level.
@@ -30,6 +30,12 @@ __all__ = [
 ]
 
 DIGEST_WIDTH = 8
+#: leaf sponge: width-24 permutation, rate 16, capacity 8 — half the
+#: permutations per row of the width-16 sponge (the Merkle leaf hash is the
+#: prover's biggest Poseidon2 consumer)
+LEAF_WIDTH = 24
+LEAF_RATE = 16
+#: node compression + challenger: width 16
 RATE = 8
 WIDTH = 16
 
@@ -47,21 +53,22 @@ import jax
 
 @lru_cache(maxsize=None)
 def _hash_chunk_fn(w: int):
-    """One compiled program per row width: the FULL sponge over a
+    """One compiled program per row width: the FULL rate-16 sponge over a
     (CHUNK, w) slice — a single device dispatch per chunk (remote dispatch
     and compile latency both matter on the tunneled TPU)."""
 
     @jax.jit
     def f(rows):
-        n_blocks = -(-w // RATE)
-        state = jnp.zeros((CHUNK, WIDTH), dtype=jnp.uint32)
+        n_blocks = -(-w // LEAF_RATE)
+        state = jnp.zeros((CHUNK, LEAF_WIDTH), dtype=jnp.uint32)
         for i in range(n_blocks):
-            chunk = rows[:, i * RATE : (i + 1) * RATE]
-            if chunk.shape[1] < RATE:
-                pad = jnp.zeros((CHUNK, RATE - chunk.shape[1]), jnp.uint32)
+            chunk = rows[:, i * LEAF_RATE : (i + 1) * LEAF_RATE]
+            if chunk.shape[1] < LEAF_RATE:
+                pad = jnp.zeros((CHUNK, LEAF_RATE - chunk.shape[1]),
+                                jnp.uint32)
                 chunk = jnp.concatenate([chunk, pad], axis=1)
-            absorbed = bb.add(state[:, :RATE], chunk)
-            state = jnp.concatenate([absorbed, state[:, RATE:]], axis=1)
+            absorbed = bb.add(state[:, :LEAF_RATE], chunk)
+            state = jnp.concatenate([absorbed, state[:, LEAF_RATE:]], axis=1)
             state = permute_batch(state)
         return state[:, :DIGEST_WIDTH]
 
@@ -153,6 +160,7 @@ class MerkleTree:
 # ---------------------------------------------------------------------------
 
 _perm = None
+_perm24 = None
 
 
 def _permute_ints(state: list[int]) -> list[int]:
@@ -163,16 +171,19 @@ def _permute_ints(state: list[int]) -> list[int]:
 
 
 def hash_row_ints(row: list[int]) -> list[int]:
-    state = [0] * WIDTH
-    n_blocks = -(-len(row) // RATE) if row else 1
+    global _perm24
+    if _perm24 is None:
+        _perm24 = Poseidon2(LEAF_WIDTH)
+    state = [0] * LEAF_WIDTH
+    n_blocks = -(-len(row) // LEAF_RATE) if row else 1
     for i in range(n_blocks):
-        chunk = row[i * RATE : (i + 1) * RATE]
-        chunk = list(chunk) + [0] * (RATE - len(chunk))
+        chunk = row[i * LEAF_RATE : (i + 1) * LEAF_RATE]
+        chunk = list(chunk) + [0] * (LEAF_RATE - len(chunk))
         state = [
-            (state[j] + chunk[j]) % P if j < RATE else state[j]
-            for j in range(WIDTH)
+            (state[j] + chunk[j]) % P if j < LEAF_RATE else state[j]
+            for j in range(LEAF_WIDTH)
         ]
-        state = _permute_ints(state)
+        state = _perm24.permute_ints(state)
     return state[:DIGEST_WIDTH]
 
 

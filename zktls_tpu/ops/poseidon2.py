@@ -134,11 +134,9 @@ class Poseidon2:
 
     def __init__(self, width: int = 16):
         self.params = get_params(width)
-        self._native = None
-        if width == 16:
-            from ..utils.native import get_native
+        from ..utils.native import get_native
 
-            self._native = get_native()
+        self._native = get_native() if width in (16, 24) else None
 
     def permute_ints(self, state: list[int]) -> list[int]:
         p = self.params
@@ -146,7 +144,7 @@ class Poseidon2:
             raise ValueError(f"state width must be {p.width}")
         if self._native is not None:
             out = self._native.permute_batch(
-                np.array([state], dtype=np.uint32))
+                np.array([state], dtype=np.uint32), width=p.width)
             return [int(x) for x in out[0]]
         s = [x % P for x in state]
         half = p.rf // 2

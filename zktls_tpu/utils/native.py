@@ -5,6 +5,9 @@ next to the sources); every consumer falls back to the pure-Python path
 when the toolchain or the build is unavailable, so the framework never
 hard-depends on native code — it just gets ~100× faster host hashing
 (verifier Merkle paths, challenger) when present.
+
+Instances: 0 = width-16 (node compression, challenger), 1 = width-24
+(rate-16 Merkle leaf sponge).
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ _SRC = _NATIVE_DIR / "poseidon2.c"
 
 _lib = None
 _load_failed = False
+
+_WIDTH_TO_INST = {16: 0, 24: 1}
 
 
 def _build() -> bool:
@@ -52,28 +57,32 @@ def _load():
             _load_failed = True
             return None
         lib = ctypes.CDLL(str(_SO_PATH))
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        lib.p2_set_params.argtypes = [ctypes.c_uint32] * 3 + [u32p] * 3
+        u32 = ctypes.c_uint32
+        u32p = ctypes.POINTER(u32)
+        sz = ctypes.c_size_t
+        lib.p2_set_params.argtypes = [u32] * 4 + [u32p] * 3
         lib.p2_set_params.restype = ctypes.c_int
-        lib.p2_permute_batch.argtypes = [u32p, ctypes.c_size_t]
-        lib.p2_hash_rows.argtypes = [u32p, ctypes.c_size_t, ctypes.c_size_t,
-                                     u32p]
-        lib.p2_compress_pairs.argtypes = [u32p, ctypes.c_size_t, u32p]
+        lib.p2_permute_batch.argtypes = [u32, u32p, sz]
+        lib.p2_hash_rows.argtypes = [u32, u32p, sz, sz, u32p]
+        lib.p2_compress_pairs.argtypes = [u32, u32p, sz, u32p]
 
         from ..ops.poseidon2 import get_params
 
-        p = get_params(16)
-        ext = np.ascontiguousarray(np.array(p.external_rc, dtype=np.uint32))
-        irc = np.ascontiguousarray(np.array(p.internal_rc, dtype=np.uint32))
-        diag = np.ascontiguousarray(np.array(p.diag, dtype=np.uint32))
-        rc = lib.p2_set_params(
-            16, p.rf, p.rp,
-            ext.ctypes.data_as(u32p), irc.ctypes.data_as(u32p),
-            diag.ctypes.data_as(u32p),
-        )
-        if rc != 0:
-            _load_failed = True
-            return None
+        for width, inst in _WIDTH_TO_INST.items():
+            p = get_params(width)
+            ext = np.ascontiguousarray(
+                np.array(p.external_rc, dtype=np.uint32))
+            irc = np.ascontiguousarray(
+                np.array(p.internal_rc, dtype=np.uint32))
+            diag = np.ascontiguousarray(np.array(p.diag, dtype=np.uint32))
+            rc = lib.p2_set_params(
+                inst, width, p.rf, p.rp,
+                ext.ctypes.data_as(u32p), irc.ctypes.data_as(u32p),
+                diag.ctypes.data_as(u32p),
+            )
+            if rc != 0:
+                _load_failed = True
+                return None
         _lib = lib
     except Exception:
         _load_failed = True
@@ -86,21 +95,24 @@ def native_available() -> bool:
 
 
 class _Native:
-    """numpy-typed wrappers over the C entry points (width-16 instance)."""
+    """numpy-typed wrappers over the C entry points."""
 
-    def permute_batch(self, states: np.ndarray) -> np.ndarray:
+    def permute_batch(self, states: np.ndarray, width: int = 16) -> np.ndarray:
         lib = _load()
         out = np.ascontiguousarray(states, dtype=np.uint32).copy()
         lib.p2_permute_batch(
+            _WIDTH_TO_INST[width],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), out.shape[0])
         return out
 
-    def hash_rows(self, rows: np.ndarray) -> np.ndarray:
+    def hash_rows(self, rows: np.ndarray, width: int = 24) -> np.ndarray:
+        """Sponge-hash rows with the given permutation width (rate w−8)."""
         lib = _load()
         rows = np.ascontiguousarray(rows, dtype=np.uint32)
         n, w = rows.shape
         out = np.zeros((n, 8), dtype=np.uint32)
         lib.p2_hash_rows(
+            _WIDTH_TO_INST[width],
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, w,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
         return out
@@ -111,7 +123,7 @@ class _Native:
         n = pairs.shape[0]
         out = np.zeros((n, 8), dtype=np.uint32)
         lib.p2_compress_pairs(
-            pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+            0, pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
         return out
 

@@ -121,9 +121,12 @@ def main() -> None:
     log(f"prove (compile+run): {t_first:.2f}s")
 
     t0 = time.time()
-    proof = prove(air, trace, public, cfg)
+    stage_timings: dict = {}
+    proof = prove(air, trace, public, cfg, timings=stage_timings)
     t_prove = time.time() - t0
     RESULT["prove_cached_s"] = round(t_prove, 3)
+    RESULT["prove_stages"] = stage_timings
+    log("stage timings:", stage_timings)
     RESULT["proof_bytes"] = len(proof.to_bytes())
     log(f"prove (cached): {t_prove:.2f}s, proof {RESULT['proof_bytes']} B")
 

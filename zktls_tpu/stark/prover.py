@@ -242,6 +242,35 @@ def _deep_fn(log_N: int, w_z: int, w_gz: int):
     return f
 
 
+def _grind_device(ch: Challenger, pow_bits: int) -> int:
+    """Proof-of-work grinding, batched on device: try candidate witnesses in
+    one permutation batch instead of a sequential host loop (~2^pow_bits
+    tries).  Mirrors Challenger.observe(w); sample_bits(pow_bits) == 0:
+    the candidate joins the pending input buffer, the duplex permutes, and
+    the check reads rate lane 7 (the first popped output)."""
+    from ..ops.poseidon2 import permute_batch
+
+    base = np.array(ch.state, dtype=np.uint32)
+    buf = [v % P for v in ch.input_buf]
+    if len(buf) >= 8:
+        raise AssertionError("challenger buffer cannot be full here")
+    batch = 1 << min(pow_bits + 3, 18)
+    mask = (1 << pow_bits) - 1
+    offset = 0
+    while True:
+        states = np.tile(base, (batch, 1))
+        if buf:
+            states[:, : len(buf)] = np.array(buf, dtype=np.uint32)
+        cands = (np.arange(batch, dtype=np.uint64) + offset) % P
+        states[:, len(buf)] = cands.astype(np.uint32)
+        out = bb.np_from_mont(np.asarray(
+            permute_batch(bb.to_mont(jnp.asarray(states)))))
+        hits = np.nonzero((out[:, 7] & mask) == 0)[0]
+        if hits.size:
+            return int(cands[hits[0]])
+        offset += batch
+
+
 def _inv_2x(log_size: int, shift: int) -> np.ndarray:
     """Montgomery (N/2,) array of 1/(2·x_j) for the layer domain."""
     xs = eval_domain(log_size, shift)[: (1 << log_size) // 2]
@@ -250,7 +279,19 @@ def _inv_2x(log_size: int, shift: int) -> np.ndarray:
 
 
 def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
-          config: StarkConfig = DEFAULT_CONFIG) -> StarkProof:
+          config: StarkConfig = DEFAULT_CONFIG,
+          timings: dict | None = None) -> StarkProof:
+    import time as _time
+
+    def _mark(label, _t=[None]):
+        if timings is None:
+            return
+        now = _time.time()
+        if _t[0] is not None:
+            timings[label] = round(now - _t[0], 3)
+        _t[0] = now
+
+    _mark(None)
     public_values = [int(v) % P for v in (public_values or [])]
     n, w = trace.shape
     log_n = n.bit_length() - 1
@@ -272,6 +313,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     lde = coset_lde(trace_m, config.log_blowup, s)          # (N, w)
     trace_tree = MerkleTree(lde)
     trace_root = [int(x) for x in trace_tree.root]
+    _mark("lde_commit")
 
     ch = Challenger()
     ch.observe_bytes(air.name.encode())
@@ -351,6 +393,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     quotient_tree = MerkleTree(q_cols)
     quotient_root = [int(x) for x in quotient_tree.root]
     ch.observe_many(quotient_root)
+    _mark("quotient")
 
     # 4. out-of-domain openings -------------------------------------------
     zeta = ch.sample_ext()
@@ -378,6 +421,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     for v in (trace_local_evals + trace_next_evals + perm_local_evals
               + perm_next_evals + quotient_evals):
         ch.observe_ext(v)
+    _mark("ood_openings")
 
     # 5. DEEP composition --------------------------------------------------
     # β-power ordering: ζ-group [trace ‖ perm ‖ quotient], then g·ζ-group
@@ -411,6 +455,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     deep = _deep_fn(log_n + config.log_blowup, w_z, w_gz)(
         mat_z, mat_gz, bpow_m, ev_z, ev_gz, inv_x_zeta, inv_x_gzeta
     )  # (N, 4)
+    _mark("deep")
 
     # 6. FRI ---------------------------------------------------------------
     fri_roots: list[list[int]] = []
@@ -435,16 +480,12 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     fri_final = [Fp4(*[int(x) for x in row]) for row in final_plain]
     for v in fri_final:
         ch.observe_ext(v)
+    _mark("fri")
 
     # 7. grinding + queries ------------------------------------------------
     pow_witness = 0
     if config.pow_bits:
-        while True:
-            c2 = ch.clone()
-            c2.observe(pow_witness)
-            if c2.sample_bits(config.pow_bits) == 0:
-                break
-            pow_witness += 1
+        pow_witness = _grind_device(ch, config.pow_bits)
     ch.check_witness(config.pow_bits, pow_witness)
 
     lde_plain = bb.np_from_mont(np.asarray(lde))
@@ -483,6 +524,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
                        if perm_tree is not None else []),
         ))
 
+    _mark("queries")
     return StarkProof(
         air_name=air.name,
         log_n=log_n,

@@ -47,16 +47,26 @@ class StarkGuestProver:
         out: GuestOutput = run_guest(guest_input)
         chip_proofs: dict[str, bytes] = {}
 
+        from ..models.aes128_chip import prove_gcm_events
         from ..models.sha256_chip import prove_sha256_events
 
         chip_proofs["sha256"] = prove_sha256_events(
             out.replay.sha256_recorder.events, self.config
         )
+        if out.replay.gcm_events:
+            chip_proofs["aes128"] = prove_gcm_events(
+                out.replay.gcm_events, self.config
+            )
 
         return out.journal, BundleProof(chip_proofs).to_bytes()
 
     def verify(self, journal: bytes, proof: bytes) -> bool:
+        from ..models.aes128_chip import verify_aes128_proof
         from ..models.sha256_chip import verify_sha256_proof
 
         bundle = BundleProof.from_bytes(proof)
-        return verify_sha256_proof(bundle.chip_proofs["sha256"], self.config)
+        ok = verify_sha256_proof(bundle.chip_proofs["sha256"], self.config)
+        if "aes128" in bundle.chip_proofs:
+            ok = ok and verify_aes128_proof(
+                bundle.chip_proofs["aes128"], self.config)
+        return ok

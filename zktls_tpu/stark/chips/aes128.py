@@ -325,49 +325,45 @@ class Aes128Air(Air):
     # ------------------------------------------------------------------
 
     def generate_perm_trace(self, main, public_values, challenges):
+        from ..lookup import np_ext_mul, np_logup_terms
+
         gamma, delta = challenges
         n = main.shape[0]
         L = LAYOUT
+        P_ = 2013265921
 
-        def byte_of(row, name, start):
+        def bytes_col(name, start):
             sl = L[name].start + start
-            bits = main[row, sl : sl + 8]
-            return int(sum(int(b) << k for k, b in enumerate(bits)))
+            bits = main[:, sl : sl + 8].astype(np.uint64)
+            return (bits * np.array(POW8, dtype=np.uint64)[None, :]).sum(axis=1)
 
-        # collect the 20 compressed lookup values per row + table values
-        gv: list = []
-        gt: list = []
-        for row in range(n):
-            for i in range(16):
-                x = byte_of(row, "st", 8 * i)
-                y = byte_of(row, "sb", 8 * i)
-                gv.append(gamma - (x + delta * y))
-            for t in range(4):
-                x = byte_of(row, "rk", 8 * ROT[t])
-                y = byte_of(row, "ks_sb", 8 * t)
-                gv.append(gamma - (x + delta * y))
-            ti = row % 256
-            gt.append(gamma - (ti + delta * SBOX[ti]))
-        inv_v = fp4_batch_inverse(gv)
-        inv_t = fp4_batch_inverse(gt)
+        xs, ys = [], []
+        for i in range(16):
+            xs.append(bytes_col("st", 8 * i))
+            ys.append(bytes_col("sb", 8 * i))
+        for t in range(4):
+            xs.append(bytes_col("rk", 8 * ROT[t]))
+            ys.append(bytes_col("ks_sb", 8 * t))
+        xs_flat = np.stack(xs, axis=1).reshape(-1)       # (n·20,)
+        ys_flat = np.stack(ys, axis=1).reshape(-1)
+        inv_v = np_logup_terms(gamma, xs_flat, None, ys_flat, delta)
+        inv_v = inv_v.reshape(n, N_LOOKUPS, 4)
+        t_in = (np.arange(n, dtype=np.uint64) % 256)
+        t_out = np.array(SBOX, dtype=np.uint64)[t_in.astype(np.int64)]
+        inv_t = np_logup_terms(gamma, t_in, None, t_out, delta)  # (n, 4)
+
+        mult = main[:, L["mult"].start].astype(np.uint64)
+        # term = Σ_j inv_v_j − m·inv_t ; S = prefix sum
+        term = inv_v.sum(axis=1) % P_
+        m_it = (inv_t.astype(np.uint64) * mult[:, None]) % P_
+        term = (term + P_ - m_it) % P_
+        s = np.cumsum(term.astype(object), axis=0) % P_  # exact big-int sum
 
         out = np.zeros((n, self.perm_width), dtype=np.uint32)
-        from ...ops.field_ref import Fp4
-
-        run = Fp4(0)
-        for row in range(n):
-            term = Fp4(0)
-            for j in range(N_LOOKUPS):
-                iv = inv_v[row * N_LOOKUPS + j]
-                out[row, 4 * j : 4 * j + 4] = iv.c
-                term = term + iv
-            out[row, 4 * N_LOOKUPS : 4 * N_LOOKUPS + 4] = inv_t[row].c
-            m = int(main[row, L["mult"].start])
-            term = term - m * inv_t[row]
-            run = run + term
-            out[row, 4 * (N_LOOKUPS + 1) : 4 * (N_LOOKUPS + 2)] = run.c
+        out[:, : 4 * N_LOOKUPS] = inv_v.reshape(n, -1)
+        out[:, 4 * N_LOOKUPS : 4 * N_LOOKUPS + 4] = inv_t
+        out[:, 4 * (N_LOOKUPS + 1) :] = s.astype(np.uint64)
         return out
-
 
 # ---------------------------------------------------------------------------
 # witness generation

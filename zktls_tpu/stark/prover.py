@@ -460,7 +460,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
     # 6. FRI ---------------------------------------------------------------
     fri_roots: list[list[int]] = []
     fri_trees: list[MerkleTree] = []
-    fri_layers_host: list[np.ndarray] = []   # plain-form (size, 4)
+    fri_layers_dev: list[jnp.ndarray] = []   # Montgomery, device
     cur = deep
     cur_shift = s
     cur_log = log_n + config.log_blowup
@@ -470,7 +470,7 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
         root = [int(x) for x in tree.root]
         fri_trees.append(tree)
         fri_roots.append(root)
-        fri_layers_host.append(bb.np_from_mont(np.asarray(cur)))
+        fri_layers_dev.append(cur)
         ch.observe_many(root)
         beta_l = ch.sample_ext()
         cur = _fold_layer(cur, beta_l, _inv_2x(cur_log, cur_shift))
@@ -488,38 +488,54 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
         pow_witness = _grind_device(ch, config.pow_bits)
     ch.check_witness(config.pow_bits, pow_witness)
 
-    lde_plain = bb.np_from_mont(np.asarray(lde))
-    q_cols_plain = bb.np_from_mont(np.asarray(q_cols))
-    perm_plain = (bb.np_from_mont(np.asarray(perm_lde))
-                  if air.perm_width else None)
+    # sample all query indices first, then gather ONLY the queried rows from
+    # device (pulling whole matrices costs seconds of transfer; the queried
+    # rows are a few hundred KB)
     log_N = log_n + config.log_blowup
+    q_indices = [ch.sample_bits(log_N) for _ in range(config.num_queries)]
+    qi = jnp.asarray(np.array(q_indices, dtype=np.int32))
+    trace_rows = bb.np_from_mont(np.asarray(lde[qi]))
+    quot_rows = bb.np_from_mont(np.asarray(q_cols[qi]))
+    perm_rows = (bb.np_from_mont(np.asarray(perm_lde[qi]))
+                 if air.perm_width else None)
+    # per-layer FRI pair gathers: one indexed read per layer for all queries
+    fri_pairs: list[np.ndarray] = []
+    qq_per_layer: list[list[int]] = []
+    cur_qs = list(q_indices)
+    for ell, layer_vals in enumerate(fri_layers_dev):
+        size = 1 << (log_N - ell)
+        half = size // 2
+        js = [q % half for q in cur_qs]
+        idx = jnp.asarray(np.array(js + [j + half for j in js],
+                                   dtype=np.int32))
+        pulled = bb.np_from_mont(np.asarray(layer_vals[idx]))
+        fri_pairs.append(pulled)
+        qq_per_layer.append(js)
+        cur_qs = js
+
     queries = []
-    for _ in range(config.num_queries):
-        q = ch.sample_bits(log_N)
+    for qi_pos, q in enumerate(q_indices):
         steps = []
-        qq = q
         for ell, tree in enumerate(fri_trees):
-            size = 1 << (log_N - ell)
-            half = size // 2
-            j = qq % half
-            vals = fri_layers_host[ell]
+            js = qq_per_layer[ell]
+            j = js[qi_pos]
+            nq = config.num_queries
             pair = (
-                Fp4(*[int(x) for x in vals[j]]),
-                Fp4(*[int(x) for x in vals[j + half]]),
+                Fp4(*[int(x) for x in fri_pairs[ell][qi_pos]]),
+                Fp4(*[int(x) for x in fri_pairs[ell][nq + qi_pos]]),
             )
             steps.append(FriStep(pair=pair, path=[
                 [int(x) for x in d] for d in tree.open(j)
             ]))
-            qq = j
         queries.append(QueryProof(
             index=q,
-            trace_row=[int(x) for x in lde_plain[q]],
+            trace_row=[int(x) for x in trace_rows[qi_pos]],
             trace_path=[[int(x) for x in d] for d in trace_tree.open(q)],
-            quotient_row=[int(x) for x in q_cols_plain[q]],
+            quotient_row=[int(x) for x in quot_rows[qi_pos]],
             quotient_path=[[int(x) for x in d] for d in quotient_tree.open(q)],
             fri_steps=steps,
-            perm_row=([int(x) for x in perm_plain[q]]
-                      if perm_plain is not None else []),
+            perm_row=([int(x) for x in perm_rows[qi_pos]]
+                      if perm_rows is not None else []),
             perm_path=([[int(x) for x in d] for d in perm_tree.open(q)]
                        if perm_tree is not None else []),
         ))

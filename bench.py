@@ -36,8 +36,8 @@ RESULT: dict = {
     "vs_baseline": None,
     "partial": True,
     "note": "guest replay native + STARK proofs of the recorded session's "
-            "SHA-256 compressions and AES-GCM keystream blocks; "
-            "EC/GHASH chips pending",
+            "SHA-256 compressions, AES-GCM keystream blocks and GHASH "
+            "tag polynomial; EC chips pending",
 }
 
 
@@ -164,7 +164,33 @@ def main() -> None:
         log("aes chip section failed:", e)
         RESULT["aes_error"] = str(e)
 
-    e2e = t_witness + t_trace + t_prove + t_aes
+    # ---- GHASH chip (GCM authentication-tag polynomial) ----------------
+    t_ghash = 0.0
+    try:
+        from zktls_tpu.models.ghash_chip import ghash_air
+        from zktls_tpu.stark.chips.ghash import gcm_event_ghash, ghash_trace
+
+        ghash_events = [gcm_event_ghash(ev) for ev in gcm_events]
+        t0 = time.time()
+        g_trace, g_public = ghash_trace(ghash_events)
+        RESULT["ghash_blocks"] = sum(len(b) for _h, b in ghash_events)
+        RESULT["ghash_trace_shape"] = list(g_trace.shape)
+        gair = ghash_air()
+        g_proof = prove(gair, g_trace, g_public, cfg)
+        t_ghash_first = time.time() - t0
+        RESULT["ghash_prove_first_s"] = round(t_ghash_first, 3)
+        t0 = time.time()
+        g_proof = prove(gair, g_trace, g_public, cfg)
+        t_ghash = time.time() - t0
+        RESULT["ghash_prove_cached_s"] = round(t_ghash, 3)
+        assert verify(gair, g_proof, cfg)
+        log(f"ghash chip: first {t_ghash_first:.2f}s, cached {t_ghash:.2f}s, "
+            f"{RESULT['ghash_blocks']} blocks")
+    except Exception as e:
+        log("ghash chip section failed:", e)
+        RESULT["ghash_error"] = str(e)
+
+    e2e = t_witness + t_trace + t_prove + t_aes + t_ghash
     RESULT["value"] = round(e2e, 3)
     RESULT["vs_baseline"] = round(BASELINE_S / e2e, 3)
 

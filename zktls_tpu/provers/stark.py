@@ -48,6 +48,7 @@ class StarkGuestProver:
         chip_proofs: dict[str, bytes] = {}
 
         from ..models.aes128_chip import prove_gcm_events
+        from ..models.ghash_chip import prove_ghash_events
         from ..models.sha256_chip import prove_sha256_events
 
         chip_proofs["sha256"] = prove_sha256_events(
@@ -57,11 +58,15 @@ class StarkGuestProver:
             chip_proofs["aes128"] = prove_gcm_events(
                 out.replay.gcm_events, self.config
             )
+            chip_proofs["ghash"] = prove_ghash_events(
+                out.replay.gcm_events, self.config
+            )
 
         return out.journal, BundleProof(chip_proofs).to_bytes()
 
     def verify(self, journal: bytes, proof: bytes) -> bool:
         from ..models.aes128_chip import verify_aes128_proof
+        from ..models.ghash_chip import verify_ghash_proof
         from ..models.sha256_chip import verify_sha256_proof
 
         bundle = BundleProof.from_bytes(proof)
@@ -69,4 +74,7 @@ class StarkGuestProver:
         if "aes128" in bundle.chip_proofs:
             ok = ok and verify_aes128_proof(
                 bundle.chip_proofs["aes128"], self.config)
+        if "ghash" in bundle.chip_proofs:
+            ok = ok and verify_ghash_proof(
+                bundle.chip_proofs["ghash"], self.config)
         return ok

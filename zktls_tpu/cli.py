@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import pathlib
 import sys
 
@@ -73,6 +74,15 @@ def cmd_prove(args) -> int:
         from .provers.mock import MockProver
 
         prover = MockProver()
+    elif args.network:
+        from .provers.service import RemoteGuestProver
+
+        server = args.server or os.environ.get("ZKTLS_PROVER_SERVER")
+        if not server:
+            print("error: --network needs --server or ZKTLS_PROVER_SERVER",
+                  file=sys.stderr)
+            return 2
+        prover = RemoteGuestProver(server)
     else:
         from .provers.stark import StarkGuestProver
 
@@ -89,6 +99,17 @@ def cmd_prove(args) -> int:
         }
         pathlib.Path(args.output).write_text(json.dumps(out, indent=2))
         log.info("wrote %s", args.output)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .provers.service import serve
+
+    service = serve(args.prover, args.host, args.port)
+    try:
+        service.serve_forever()
+    except KeyboardInterrupt:
+        service.stop()
     return 0
 
 
@@ -122,6 +143,13 @@ def build_parser() -> argparse.ArgumentParser:
                       help="execute the guest, emit real journal + empty proof")
     mode.add_argument("--local", action="store_true",
                       help="prove on the local chip(s) (default)")
+    mode.add_argument("--network", action="store_true",
+                      help="delegate proving to a remote prover service "
+                      "(the reference's moongate/Bonsai mode)")
+    pr.add_argument("--server",
+                    default=None,
+                    help="prover service URL for --network "
+                    "(env: ZKTLS_PROVER_SERVER)")
     pr.add_argument("--fixture", help="recorded session CBOR to replay "
                     "(offline mode; otherwise a live TLS call is recorded)")
     pr.add_argument("-o", "--output", help="write journal+proof JSON here")
@@ -133,6 +161,14 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("-p", "--prover", choices=["stark"], default="stark")
     ev.add_argument("-o", "--output", help="output directory")
     ev.set_defaults(func=cmd_export_verifier)
+
+    sv = sub.add_parser("serve",
+                        help="run a prover service (moongate/Bonsai analogue)")
+    sv.add_argument("-p", "--prover", choices=["stark", "mock"],
+                    default="stark", help="prover backend to serve")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8472)
+    sv.set_defaults(func=cmd_serve)
     return p
 
 

@@ -36,8 +36,8 @@ RESULT: dict = {
     "vs_baseline": None,
     "partial": True,
     "note": "guest replay native + STARK proofs of the recorded session's "
-            "SHA-256 compressions, AES-GCM keystream blocks and GHASH "
-            "tag polynomial; EC chips pending",
+            "SHA-256 compressions, AES-GCM keystream blocks, GHASH "
+            "tag polynomial, and EC modular-mul events (ECDHE/ECDSA/origin)",
 }
 
 
@@ -190,7 +190,32 @@ def main() -> None:
         log("ghash chip section failed:", e)
         RESULT["ghash_error"] = str(e)
 
-    e2e = t_witness + t_trace + t_prove + t_aes + t_ghash
+    # ---- ModMul chip (EC bigint ops: ECDHE, ECDSA, origin) -------------
+    t_modmul = 0.0
+    try:
+        from zktls_tpu.models.modmul_chip import modmul_air
+        from zktls_tpu.stark.chips.modmul import modmul_trace
+
+        t0 = time.time()
+        mm_trace, mm_public = modmul_trace(out.modmul_events)
+        RESULT["modmul_events"] = len(out.modmul_events)
+        RESULT["modmul_trace_shape"] = list(mm_trace.shape)
+        mair = modmul_air()
+        mm_proof = prove(mair, mm_trace, mm_public, cfg)
+        t_mm_first = time.time() - t0
+        RESULT["modmul_prove_first_s"] = round(t_mm_first, 3)
+        t0 = time.time()
+        mm_proof = prove(mair, mm_trace, mm_public, cfg)
+        t_modmul = time.time() - t0
+        RESULT["modmul_prove_cached_s"] = round(t_modmul, 3)
+        assert verify(mair, mm_proof, cfg)
+        log(f"modmul chip: first {t_mm_first:.2f}s, cached {t_modmul:.2f}s, "
+            f"{RESULT['modmul_events']} events")
+    except Exception as e:
+        log("modmul chip section failed:", e)
+        RESULT["modmul_error"] = str(e)
+
+    e2e = t_witness + t_trace + t_prove + t_aes + t_ghash + t_modmul
     RESULT["value"] = round(e2e, 3)
     RESULT["vs_baseline"] = round(BASELINE_S / e2e, 3)
 

@@ -4,12 +4,16 @@ Used by the guest replay for the ECDHE key exchange (P-256 in the fixture —
 the recorded scalar at random[98:130] times the server's point yields the
 premaster secret, SURVEY.md §2.3), for ECDSA certificate-signature
 verification, and for the request-origin secp256k1 signature check.
-Pure-Python big-int arithmetic; the ECC AIR chip mirrors this computation.
+Pure-Python big-int arithmetic; every modular multiplication/inversion of
+the group law goes through `modmul.mulmod`/`invmod` so the ModMul AIR chip
+(stark/chips/modmul.py) can prove the recorded event stream on TPU.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+from .modmul import invmod, mulmod
 
 __all__ = ["Curve", "P256", "P384", "SECP256K1", "Point", "ecdsa_verify",
            "ecdsa_recover"]
@@ -46,11 +50,12 @@ class Curve:
         if x1 == x2:
             if (y1 + y2) % p == 0:
                 return None
-            m = (3 * x1 * x1 + self.a) * pow(2 * y1, -1, p) % p
+            num = 3 * mulmod(x1, x1, p) + self.a
+            m = mulmod(num, invmod(2 * y1, p), p)
         else:
-            m = (y2 - y1) * pow(x2 - x1, -1, p) % p
-        x3 = (m * m - x1 - x2) % p
-        y3 = (m * (x1 - x3) - y1) % p
+            m = mulmod(y2 - y1, invmod(x2 - x1, p), p)
+        x3 = (mulmod(m, m, p) - x1 - x2) % p
+        y3 = (mulmod(m, x1 - x3, p) - y1) % p
         return (x3, y3)
 
     def mul(self, k: int, P1: Point) -> Point:
@@ -143,9 +148,9 @@ def ecdsa_verify(curve: Curve, pub: Point, msg_hash: bytes, r: int, s: int) -> b
     e = int.from_bytes(msg_hash, "big")
     if len(msg_hash) * 8 > n.bit_length():
         e >>= len(msg_hash) * 8 - n.bit_length()
-    w = pow(s, -1, n)
-    u1 = e * w % n
-    u2 = r * w % n
+    w = invmod(s, n)
+    u1 = mulmod(e, w, n)
+    u2 = mulmod(r, w, n)
     pt = curve.add(curve.mul(u1, curve.g), curve.mul(u2, pub))
     if pt is None:
         return False
@@ -169,7 +174,7 @@ def ecdsa_recover(curve: Curve, msg_hash: bytes, r: int, s: int, v: int) -> Poin
     e = int.from_bytes(msg_hash, "big")
     if len(msg_hash) * 8 > n.bit_length():
         e >>= len(msg_hash) * 8 - n.bit_length()
-    r_inv = pow(r, -1, n)
+    r_inv = invmod(r, n)
     # Q = r^-1 (s R - e G)
     sR = curve.mul(s, R)
     eG = curve.mul(e, curve.g)

@@ -1,0 +1,83 @@
+"""Modular-multiplication witness recording for the EC/bigint AIR chip.
+
+The reference proves elliptic-curve arithmetic with bigint precompile
+chips inside the zkVM (`sp1-curves` field ops + the bigint/ec precompile
+chips, SURVEY.md §2.2.B).  Here the guest's big-int hot ops — every
+modular multiplication and inversion performed by the EC group law, ECDSA
+verification and origin recovery — are recorded as `ModMulEvent`s, and the
+ModMul STARK chip (stark/chips/modmul.py) proves each one on TPU.
+
+Inversions are recorded as a multiplication event `a · a⁻¹ ≡ 1 (mod m)`
+— the standard witness trick: the prover supplies the inverse, the chip
+proves the product is 1.
+
+Recording is scoped with the `recording()` context manager (the guest
+program wraps its whole execution); when inactive the helpers are plain
+arithmetic with zero overhead beyond a branch.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from dataclasses import dataclass
+
+__all__ = ["ModMulEvent", "ModMulRecorder", "recording", "active_recorder",
+           "mulmod", "invmod"]
+
+
+@dataclass(frozen=True)
+class ModMulEvent:
+    """One proven statement: a · b ≡ r (mod m), operands canonical."""
+
+    a: int
+    b: int
+    r: int
+    m: int
+
+
+class ModMulRecorder:
+    def __init__(self):
+        self.events: list[ModMulEvent] = []
+
+    def record(self, a: int, b: int, r: int, m: int) -> None:
+        self.events.append(ModMulEvent(a, b, r, m))
+
+
+_active: ModMulRecorder | None = None
+
+
+def active_recorder() -> ModMulRecorder | None:
+    return _active
+
+
+@contextmanager
+def recording(rec: ModMulRecorder | None = None):
+    """Activate a recorder for the dynamic extent (guest execution)."""
+    global _active
+    if rec is None:
+        rec = ModMulRecorder()
+    prev = _active
+    _active = rec
+    try:
+        yield rec
+    finally:
+        _active = prev
+
+
+def mulmod(a: int, b: int, m: int) -> int:
+    """a·b mod m, recorded when a recorder is active."""
+    a %= m
+    b %= m
+    r = a * b % m
+    if _active is not None:
+        _active.record(a, b, r, m)
+    return r
+
+
+def invmod(a: int, m: int) -> int:
+    """a⁻¹ mod m, recorded as the event a·a⁻¹ ≡ 1."""
+    a %= m
+    inv = pow(a, -1, m)
+    if _active is not None:
+        _active.record(a, inv, 1, m)
+    return inv

@@ -25,6 +25,9 @@ class GuestOutput:
     journal: bytes
     replay: ReplayResult
     chain: dict
+    #: every modular mul/inverse of the EC paths (ECDHE, ECDSA cert
+    #: signatures, origin recovery) — the ModMul chip's witness stream
+    modmul_events: list = None
 
 
 def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
@@ -32,6 +35,16 @@ def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
     """Execute the guest semantics.  Raises ReplayError if the recorded
     session is not a valid, self-consistent TLS session bound to the request.
     """
+    from .crypto.modmul import recording
+
+    with recording() as modmul_rec:
+        return _run_guest_recorded(
+            guest_input, modmul_rec,
+            require_cert_validity=require_cert_validity)
+
+
+def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
+                        require_cert_validity: bool) -> GuestOutput:
     resp = guest_input.response
     replay = replay_session(resp)
     if not replay.all_checks_pass():
@@ -62,4 +75,5 @@ def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
         root_spki_sha256=bytes.fromhex(chain["root_spki_sha256"]),
         origin_signer=origin_signer,
     )
-    return GuestOutput(journal=journal, replay=replay, chain=chain)
+    return GuestOutput(journal=journal, replay=replay, chain=chain,
+                       modmul_events=modmul_rec.events)

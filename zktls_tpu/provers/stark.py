@@ -49,6 +49,7 @@ class StarkGuestProver:
 
         from ..models.aes128_chip import prove_gcm_events
         from ..models.ghash_chip import prove_ghash_events
+        from ..models.modmul_chip import prove_modmul_events
         from ..models.sha256_chip import prove_sha256_events
 
         chip_proofs["sha256"] = prove_sha256_events(
@@ -61,12 +62,17 @@ class StarkGuestProver:
             chip_proofs["ghash"] = prove_ghash_events(
                 out.replay.gcm_events, self.config
             )
+        if out.modmul_events:
+            chip_proofs["modmul"] = prove_modmul_events(
+                out.modmul_events, self.config
+            )
 
         return out.journal, BundleProof(chip_proofs).to_bytes()
 
     def verify(self, journal: bytes, proof: bytes) -> bool:
         from ..models.aes128_chip import verify_aes128_proof
         from ..models.ghash_chip import verify_ghash_proof
+        from ..models.modmul_chip import verify_modmul_proof
         from ..models.sha256_chip import verify_sha256_proof
 
         bundle = BundleProof.from_bytes(proof)
@@ -77,4 +83,7 @@ class StarkGuestProver:
         if "ghash" in bundle.chip_proofs:
             ok = ok and verify_ghash_proof(
                 bundle.chip_proofs["ghash"], self.config)
+        if "modmul" in bundle.chip_proofs:
+            ok = ok and verify_modmul_proof(
+                bundle.chip_proofs["modmul"], self.config)
         return ok

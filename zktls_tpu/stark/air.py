@@ -215,6 +215,23 @@ class AirBuilder:
 
     # -- extension-valued constraints (LogUp columns) --------------------
 
+    def perm_group(self, sl: slice, nxt: bool = False):
+        """Permutation-trace columns sl as one group value — supports
+        strided slices, e.g. limb ℓ of every committed extension element
+        via slice(ℓ, 4k, 4).  Lets chips with many lookups evaluate all
+        their inverse checks as a handful of wide vector ops."""
+        src = self.perm_next if nxt else self.perm_local
+        return self._group(src, sl)
+
+    def perm_ext_group(self, count: int, nxt: bool = False):
+        """The first `count` committed extension elements as ONE ExtVal
+        whose limbs are (N, count) groups — the vectorized counterpart of
+        perm_ext for chips that check many inverses with one expression."""
+        from .ext_val import ExtVal
+
+        return ExtVal(*[self.perm_group(slice(ell, 4 * count, 4), nxt=nxt)
+                        for ell in range(4)])
+
     def perm_ext(self, i: int, nxt: bool = False):
         """The i-th extension element of the permutation trace (4 base
         columns [4i, 4i+4)) as an ExtVal."""

@@ -161,8 +161,17 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             idx[0] += k
 
         def group(seq, sl: slice):
-            # `seq` is the builder's local/next list; recover the matrix
-            src = mats["local"] if seq is builder.local else mats["next"]
+            # `seq` is one of the builder's column lists; recover the matrix
+            if seq is builder.local:
+                src = mats["local"]
+            elif seq is builder.next:
+                src = mats["next"]
+            elif seq is builder.perm_local:
+                src = perm_lde
+            elif seq is builder.perm_next:
+                src = next_perm
+            else:
+                src = mats["next"]
             return BBCol(src[:, sl])
 
         def const_vec(values):

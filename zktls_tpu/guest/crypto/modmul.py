@@ -18,6 +18,7 @@ arithmetic with zero overhead beyond a branch.
 
 from __future__ import annotations
 
+import contextvars
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -43,25 +44,28 @@ class ModMulRecorder:
         self.events.append(ModMulEvent(a, b, r, m))
 
 
-_active: ModMulRecorder | None = None
+# Context-local recorder: concurrent guest executions (e.g. the threading
+# HTTP prover service handling parallel /v1/prove requests) each see only
+# their own recorder — a module-level global would cross-contaminate event
+# streams between sessions.
+_active: contextvars.ContextVar[ModMulRecorder | None] = \
+    contextvars.ContextVar("zktls_modmul_recorder", default=None)
 
 
 def active_recorder() -> ModMulRecorder | None:
-    return _active
+    return _active.get()
 
 
 @contextmanager
 def recording(rec: ModMulRecorder | None = None):
     """Activate a recorder for the dynamic extent (guest execution)."""
-    global _active
     if rec is None:
         rec = ModMulRecorder()
-    prev = _active
-    _active = rec
+    token = _active.set(rec)
     try:
         yield rec
     finally:
-        _active = prev
+        _active.reset(token)
 
 
 def mulmod(a: int, b: int, m: int) -> int:
@@ -69,8 +73,9 @@ def mulmod(a: int, b: int, m: int) -> int:
     a %= m
     b %= m
     r = a * b % m
-    if _active is not None:
-        _active.record(a, b, r, m)
+    rec = _active.get()
+    if rec is not None:
+        rec.record(a, b, r, m)
     return r
 
 
@@ -78,6 +83,7 @@ def invmod(a: int, m: int) -> int:
     """a⁻¹ mod m, recorded as the event a·a⁻¹ ≡ 1."""
     a %= m
     inv = pow(a, -1, m)
-    if _active is not None:
-        _active.record(a, inv, 1, m)
+    rec = _active.get()
+    if rec is not None:
+        rec.record(a, inv, 1, m)
     return inv

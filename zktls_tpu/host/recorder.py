@@ -16,8 +16,9 @@ replays — so recording and replay are exact mirrors:
     [96:98]  2-byte draw (reserved; the recorded rustls drew it too)
     [98:..]  key-exchange scalar for the negotiated ECDHE curve
 
-Currently negotiates TLS 1.2 ECDHE with AES-GCM or ChaCha20-Poly1305
-(the fixture workload); a server insisting on TLS 1.3 is reported cleanly.
+Negotiates TLS 1.2 ECDHE or TLS 1.3 (the 1.3 branch follows the server's
+selected key share and cipher suite), with AES-GCM or ChaCha20-Poly1305
+record protection.
 """
 
 from __future__ import annotations

@@ -68,6 +68,9 @@ def _make_handler(service: "ProverService"):
                 return
             length = int(self.headers.get("Content-Length", "0"))
             if length <= 0 or length > _MAX_BODY:
+                # the body was never read: drop the connection rather than
+                # let keep-alive parse the unread bytes as the next request
+                self.close_connection = True
                 self._reply(400, {"error": "bad Content-Length"})
                 return
             data = self.rfile.read(length)

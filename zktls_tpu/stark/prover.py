@@ -171,7 +171,9 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             elif seq is builder.perm_next:
                 src = next_perm
             else:
-                src = mats["next"]
+                raise ValueError(
+                    "group() got a column list that is none of local/next/"
+                    "perm_local/perm_next")
             return BBCol(src[:, sl])
 
         def const_vec(values):
@@ -266,7 +268,10 @@ def _grind_device(ch: Challenger, pow_bits: int) -> int:
     batch = 1 << min(pow_bits + 3, 18)
     mask = (1 << pow_bits) - 1
     offset = 0
-    while True:
+    # Expected tries ≈ 2^pow_bits; the probability of needing more than
+    # 2^(pow_bits+16) is ~e^-65536 — treat exceeding it as a bug, not luck.
+    max_offset = 1 << (pow_bits + 16)
+    while offset < max_offset:
         states = np.tile(base, (batch, 1))
         if buf:
             states[:, : len(buf)] = np.array(buf, dtype=np.uint32)
@@ -278,6 +283,9 @@ def _grind_device(ch: Challenger, pow_bits: int) -> int:
         if hits.size:
             return int(cands[hits[0]])
         offset += batch
+    raise AssertionError(
+        f"grinding found no witness in 2^{pow_bits + 16} tries — "
+        "challenger/permute mismatch, not bad luck")
 
 
 def _inv_2x(log_size: int, shift: int) -> np.ndarray:

@@ -261,6 +261,12 @@ class Air:
     #: the main and permutation commitment rounds.
     perm_width: int = 0
     num_perm_challenges: int = 0
+    #: global-bus participation (machine proofs): when True the LAST
+    #: extension element of the permutation trace is the chip's bus
+    #: accumulator; its final-row value is exposed as the chip's bus sum
+    #: (appended to the public values) and Σ over chips must cancel against
+    #: the verifier's public receives (stark/bus.py).
+    has_bus: bool = False
 
     name: str = ""
 

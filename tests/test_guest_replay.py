@@ -99,8 +99,14 @@ def test_run_guest_emits_journal(legacy):
     gi = legacy.to_guest_input()
     out = run_guest(gi)
     j = decode_journal(out.journal)
-    assert j["journal_version"] == 1
+    assert j["journal_version"] == 2
     assert j["request_hash"] == keccak256(gi.request.request_info.request)
+    # v2 binding fields
+    import hashlib
+
+    assert j["stream_sha256"] == hashlib.sha256(
+        gi.response.stream).digest()
+    assert len(j["gcm_records"]) == 32 * len(out.replay.gcm_events)
     assert j["response_hash"] == keccak256(out.replay.response_plaintext)
     assert j["server_name"] == "httpbin.org"
     assert j["time"] == parse_time(legacy.time)[0]

@@ -14,7 +14,6 @@ from zktls_tpu.guest.crypto.modmul import (
     recording,
 )
 from zktls_tpu.stark.chips.modmul import (
-    LAYOUT,
     MODULI_256,
     ModMul256Air,
     modmul_trace,
@@ -24,6 +23,7 @@ from zktls_tpu.stark.debug import check_trace
 from zktls_tpu.ops.field_ref import Fp4
 
 AIR = ModMul256Air()
+LAYOUT = AIR.slices
 GAMMA = Fp4(987654321, 11, 22, 33)
 
 
@@ -49,7 +49,7 @@ def test_trace_satisfies_constraints():
     a = random.Random(2).randrange(1, m)
     evs.append(ModMulEvent(a, pow(a, -1, m), 1, m))  # inversion event
     trace, public = modmul_trace(evs)
-    assert trace.shape == (256, LAYOUT.width)
+    assert trace.shape == (256, AIR.width)
     assert bytes(public) == evs[-1].r.to_bytes(32, "little")
     assert _checked(trace, public) == []
 
@@ -82,7 +82,7 @@ def test_out_of_range_carry_byte_breaks_lookup():
     # a non-byte value satisfies the carry equation shifted elsewhere only
     # if the lookup also passed; force it and expect LogUp imbalance
     trace[row, col] += 256
-    trace[row, LAYOUT["c_hi"].start + 5] -= 1
+    trace[row, LAYOUT["c_mid"].start + 5] -= 1
     assert _checked(trace, public) != []
 
 
@@ -116,15 +116,15 @@ def test_ecdsa_verify_records_scalar_field_events():
 
 
 def test_prove_verify_roundtrip():
-    from zktls_tpu.models.modmul_chip import (
-        prove_modmul_events,
-        verify_modmul_proof,
-    )
+    """Machine prove/verify of the ModMul chip alone (small config)."""
+    from zktls_tpu.models.modmul_chip import modmul_air, modmul_instance
+    from zktls_tpu.stark.machine import prove_machine, verify_machine
 
     cfg = StarkConfig(log_blowup=2, num_queries=12, fri_final_size=32)
     evs = _random_events(4, seed=3)
-    proof = prove_modmul_events(evs, cfg)
-    assert verify_modmul_proof(proof, cfg)
+    inst = modmul_instance(evs)
+    proof = prove_machine([inst], b"modmul-test", cfg)
+    assert verify_machine([modmul_air()], proof, b"modmul-test", [], cfg)
 
 
 def test_guest_run_exposes_modmul_events(fixture_cbor_bytes):
@@ -134,8 +134,9 @@ def test_guest_run_exposes_modmul_events(fixture_cbor_bytes):
     gi = LegacyGuestInput.from_cbor(fixture_cbor_bytes).to_guest_input()
     out = run_guest(gi)
     evs = out.modmul_events
-    assert len(evs) > 1000  # ECDHE + cert sig + origin recovery
-    assert all(ev.m in set(MODULI_256) for ev in evs)
+    assert len(evs) > 1000  # ECDHE + cert sigs + x25519 + origin recovery
+    evs256 = [ev for ev in evs if ev.m in set(MODULI_256)]
+    assert len(evs256) > 1000
     # witness generation over the full real stream stays consistent
-    trace, public = modmul_trace(evs)
-    assert bytes(public) == evs[-1].r.to_bytes(32, "little")
+    trace, public = modmul_trace(evs256)
+    assert bytes(public) == evs256[-1].r.to_bytes(32, "little")

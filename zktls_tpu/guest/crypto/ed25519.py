@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import hashlib
 
+from .modmul import invmod, mulmod
+
 __all__ = ["ed25519_verify"]
 
 _P = 2**255 - 19
@@ -18,13 +20,16 @@ _I = pow(2, (_P - 1) // 4, _P)
 
 
 def _recover_x(y: int, sign: int) -> int | None:
+    from .modmul import powmod
+
     if y >= _P:
         return None
-    x2 = (y * y - 1) * pow(_D * y * y + 1, _P - 2, _P) % _P
-    x = pow(x2, (_P + 3) // 8, _P)
-    if (x * x - x2) % _P != 0:
-        x = x * _I % _P
-    if (x * x - x2) % _P != 0:
+    yy = mulmod(y, y, _P)
+    x2 = mulmod((yy - 1) % _P, invmod((mulmod(_D, yy, _P) + 1) % _P, _P), _P)
+    x = powmod(x2, (_P + 3) // 8, _P)
+    if (mulmod(x, x, _P) - x2) % _P != 0:
+        x = mulmod(x, _I, _P)
+    if (mulmod(x, x, _P) - x2) % _P != 0:
         return None
     if x & 1 != sign:
         x = _P - x
@@ -41,10 +46,17 @@ def _decode_point(s: bytes) -> tuple[int, int] | None:
 
 
 def _edwards_add(P1, P2):
+    """Affine Edwards addition; every field mul/inverse is recorded for
+    the 256-bit ModMul chip (modulus 2^255 − 19)."""
     x1, y1 = P1
     x2, y2 = P2
-    x3 = (x1 * y2 + x2 * y1) * pow(1 + _D * x1 * x2 * y1 * y2, _P - 2, _P) % _P
-    y3 = (y1 * y2 + x1 * x2) * pow(1 - _D * x1 * x2 * y1 * y2, _P - 2, _P) % _P
+    x1x2 = mulmod(x1, x2, _P)
+    y1y2 = mulmod(y1, y2, _P)
+    x1y2 = mulmod(x1, y2, _P)
+    x2y1 = mulmod(x2, y1, _P)
+    dxxyy = mulmod(mulmod(_D, x1x2, _P), y1y2, _P)
+    x3 = mulmod((x1y2 + x2y1) % _P, invmod((1 + dxxyy) % _P, _P), _P)
+    y3 = mulmod((y1y2 + x1x2) % _P, invmod((1 - dxxyy) % _P, _P), _P)
     return (x3, y3)
 
 

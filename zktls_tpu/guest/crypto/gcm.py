@@ -41,6 +41,8 @@ class GCMEvent:
     tag: bytes
     counter_blocks: list[bytes] = field(default_factory=list)  # CTR inputs
     keystream: list[bytes] = field(default_factory=list)       # E_K(counter)
+    h_block: bytes = b""     # E_K(0^16): the GHASH key H
+    j0_mask: bytes = b""     # E_K(J0): the tag whitening block
 
 
 class AESGCM:
@@ -82,10 +84,13 @@ class AESGCM:
         ct, tag = ciphertext_and_tag[:-16], ciphertext_and_tag[-16:]
         s = self._ghash(aad, ct)
         j0 = nonce + b"\x00\x00\x00\x01"
-        expect = (s ^ int.from_bytes(self.aes.encrypt_block(j0), "big")).to_bytes(16, "big")
+        mask = self.aes.encrypt_block(j0)
+        expect = (s ^ int.from_bytes(mask, "big")).to_bytes(16, "big")
         if expect != tag:
             raise ValueError("GCM tag mismatch")
-        event = GCMEvent(self.key, nonce, aad, ct, b"", tag) if events is not None else None
+        event = (GCMEvent(self.key, nonce, aad, ct, b"", tag,
+                          h_block=self.h.to_bytes(16, "big"), j0_mask=mask)
+                 if events is not None else None)
         out = bytearray()
         n_blocks = (len(ct) + 15) // 16
         for i, ks in enumerate(self._ctr(nonce, n_blocks, event)):

@@ -23,7 +23,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass
 
 __all__ = ["ModMulEvent", "ModMulRecorder", "recording", "active_recorder",
-           "mulmod", "invmod"]
+           "mulmod", "invmod", "powmod"]
 
 
 @dataclass(frozen=True)
@@ -87,3 +87,21 @@ def invmod(a: int, m: int) -> int:
     if rec is not None:
         rec.record(a, inv, 1, m)
     return inv
+
+
+def powmod(base: int, exp: int, m: int) -> int:
+    """base^exp mod m via square-and-multiply, each step recorded — the
+    RSA-verification workload (one modexp per signature, e.g. e = 65537 →
+    16 squarings + 1 multiplication at the 2048-bit width class)."""
+    if exp < 0:
+        raise ValueError("negative exponent")
+    base %= m
+    result = 1 % m
+    started = False
+    for bit in bin(exp)[2:]:
+        if started:
+            result = mulmod(result, result, m)
+        if bit == "1":
+            result = base if not started else mulmod(result, base, m)
+            started = True
+    return result

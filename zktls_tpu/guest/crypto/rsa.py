@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import hashlib
 
+from .modmul import powmod
+
 __all__ = ["rsa_pkcs1v15_verify", "rsa_pss_verify"]
 
 _DIGEST_INFO = {
@@ -36,7 +38,7 @@ def rsa_pkcs1v15_verify(n: int, e: int, hash_name: str, msg_hash: bytes,
     s = int.from_bytes(signature, "big")
     if s >= n:
         return False
-    em = pow(s, e, n).to_bytes(k, "big")
+    em = powmod(s, e, n).to_bytes(k, "big")
     return em == _emsa_pkcs1v15(hash_name, msg_hash, k)
 
 
@@ -63,7 +65,7 @@ def rsa_pss_verify(n: int, e: int, hash_name: str, msg_hash: bytes,
         return False
     em_bits = n.bit_length() - 1
     em_len = (em_bits + 7) // 8
-    em = pow(s, e, n).to_bytes(k, "big")[-em_len:]
+    em = powmod(s, e, n).to_bytes(k, "big")[-em_len:]
     if em[-1] != 0xBC:
         return False
     db_len = em_len - h_len - 1

@@ -43,11 +43,29 @@ def _rotr(x: int, n: int) -> int:
 
 @dataclass
 class CompressionEvent:
-    """One SHA-256 compression: the unit of work the SHA-256 AIR chip proves."""
+    """One SHA-256 compression: the unit of work the SHA-256 AIR chip proves.
+
+    (obj, seq) places the compression in its hash object's chain: obj is
+    assigned per fresh-from-IV hash object, seq is the depth along the
+    chain; `copy()` branches share (obj, seq), so the events of one object
+    form a tree rooted at the IV.  The AIR chip's bus argument
+    (stark/bus.py BUS_SHA_STATE) consumes exactly this structure: a
+    compression with seq > 0 receives (obj, seq, state_in) and every
+    compression sends (obj, seq+1, state_out) once per consumer, which
+    grounds every digest in a chain starting at the IV — the machine
+    equivalent of the chaining the reference guest gets for free from
+    sequential execution (SURVEY.md §3.4).
+
+    result_tag ≠ 0 marks a digest the proof publishes on the bus
+    (BUS_SHA_RESULT) for the verifier to consume — e.g. the journal digest.
+    """
 
     block: bytes              # 64-byte message block
     state_in: tuple[int, ...]  # 8 x u32
     state_out: tuple[int, ...]
+    obj: int = 0
+    seq: int = 0
+    result_tag: int = 0
 
 
 class SHA256Recorder:
@@ -56,9 +74,19 @@ class SHA256Recorder:
 
     def __init__(self) -> None:
         self.events: list[CompressionEvent] = []
+        self._next_obj = 1
 
     def new(self, data: bytes = b"") -> "SHA256":
         return SHA256(data, recorder=self)
+
+    def sha256(self, data: bytes, result_tag: int = 0) -> bytes:
+        """One-shot digest, optionally published with a result tag."""
+        return SHA256(data, recorder=self).digest(result_tag=result_tag)
+
+    def _assign_obj(self) -> int:
+        obj = self._next_obj
+        self._next_obj += 1
+        return obj
 
 
 def compress(state: tuple[int, ...], block: bytes) -> tuple[int, ...]:
@@ -88,6 +116,8 @@ class SHA256:
         self._buf = b""
         self._length = 0
         self._recorder = recorder
+        self._obj = recorder._assign_obj() if recorder is not None else 0
+        self._seq = 0
         if data:
             self.update(data)
 
@@ -96,15 +126,19 @@ class SHA256:
         h._state = self._state
         h._buf = self._buf
         h._length = self._length
+        h._obj = self._obj
+        h._seq = self._seq
         return h
 
     def _compress(self, block: bytes) -> None:
         out = compress(self._state, block)
         if self._recorder is not None:
             self._recorder.events.append(
-                CompressionEvent(block=block, state_in=self._state, state_out=out)
+                CompressionEvent(block=block, state_in=self._state,
+                                 state_out=out, obj=self._obj, seq=self._seq)
             )
         self._state = out
+        self._seq += 1
 
     def update(self, data: bytes) -> "SHA256":
         self._length += len(data)
@@ -115,12 +149,16 @@ class SHA256:
         self._buf = buf[n * 64 :]
         return self
 
-    def digest(self) -> bytes:
+    def digest(self, result_tag: int = 0) -> bytes:
         h = self.copy()
         bit_len = h._length * 8
         pad = b"\x80" + b"\x00" * ((-h._length - 9) % 64) + struct.pack(">Q", bit_len)
         h.update(pad)
         assert not h._buf
+        if result_tag and self._recorder is not None:
+            # the last appended event is this digest's final compression
+            # (execution is single-threaded within a recording context)
+            self._recorder.events[-1].result_tag = result_tag
         return b"".join(struct.pack(">I", x) for x in h._state)
 
     def hexdigest(self) -> str:

@@ -8,6 +8,8 @@ deterministically and for TLS 1.3 sessions that negotiate x25519.
 
 from __future__ import annotations
 
+from .modmul import invmod, mulmod
+
 __all__ = ["x25519", "x25519_base"]
 
 _P = 2**255 - 19
@@ -40,25 +42,27 @@ def x25519(k: bytes, u: bytes) -> bytes:
             x2, x3 = x3, x2
             z2, z3 = z3, z2
         swap = k_t
+        # every field multiplication goes through the ModMul recorder so
+        # the ladder is proven by the 256-bit chip (modulus 2^255 − 19)
         A = (x2 + z2) % _P
-        AA = A * A % _P
+        AA = mulmod(A, A, _P)
         B = (x2 - z2) % _P
-        BB = B * B % _P
+        BB = mulmod(B, B, _P)
         E = (AA - BB) % _P
         C = (x3 + z3) % _P
         D = (x3 - z3) % _P
-        DA = D * A % _P
-        CB = C * B % _P
+        DA = mulmod(D, A, _P)
+        CB = mulmod(C, B, _P)
         x3 = (DA + CB) % _P
-        x3 = x3 * x3 % _P
+        x3 = mulmod(x3, x3, _P)
         z3 = (DA - CB) % _P
-        z3 = x1 * z3 * z3 % _P
-        x2 = AA * BB % _P
-        z2 = E * (AA + _A24 * E) % _P
+        z3 = mulmod(x1, mulmod(z3, z3, _P), _P)
+        x2 = mulmod(AA, BB, _P)
+        z2 = mulmod(E, (AA + _A24 * E) % _P, _P)
     if swap:
         x2, x3 = x3, x2
         z2, z3 = z3, z2
-    out = x2 * pow(z2, _P - 2, _P) % _P
+    out = mulmod(x2, invmod(z2, _P) if z2 else 0, _P) if z2 else 0
     return out.to_bytes(32, "little")
 
 

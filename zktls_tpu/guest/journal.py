@@ -24,7 +24,18 @@ with `abi.decode`.  Layout (JOURNAL_VERSION 1):
     uint64[] filtered_begins,
     uint64[] filtered_lengths,
     bytes[]  filtered_contents,
+    bytes32 stream_sha256,       // v2: digest of the full recorded stream
+                                 //     tape, proven by the SHA-256 chip
+    bytes   gcm_records,         // v2: per-record (eid, nonce, tag,
+                                 //     n_blocks) headers the GCM control
+                                 //     chip accounts against (32 B each)
   )
+
+Version 2 extends version 1 with the two STARK-binding fields: the machine
+proof's SHA-256 chip publishes stream_sha256 (and the digest of the journal
+itself) on the global bus, and the GCM control chip consumes gcm_records —
+so flipping any journal byte, record header, or proven crypto event breaks
+verification (stark/machine.py).
 """
 
 from __future__ import annotations
@@ -35,7 +46,7 @@ from .crypto.keccak import keccak256
 
 __all__ = ["JOURNAL_VERSION", "abi_encode", "encode_journal", "decode_journal"]
 
-JOURNAL_VERSION = 1
+JOURNAL_VERSION = 2
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +128,9 @@ def abi_encode(items: list[tuple[str, object]]) -> bytes:
 
 def encode_journal(guest_input: GuestInput, *, response_plaintext: bytes,
                    root_spki_sha256: bytes,
-                   origin_signer: bytes = b"\x00" * 20) -> bytes:
+                   origin_signer: bytes = b"\x00" * 20,
+                   stream_sha256: bytes = b"\x00" * 32,
+                   gcm_records: bytes = b"") -> bytes:
     req = guest_input.request
     resp = guest_input.response
     sec, _nanos = parse_time(resp.time)
@@ -138,6 +151,8 @@ def encode_journal(guest_input: GuestInput, *, response_plaintext: bytes,
         ("uint64[]", list(resp.filtered_responses_begin)),
         ("uint64[]", list(resp.filtered_responses_length)),
         ("bytes[]", list(resp.filtered_responses)),
+        ("bytes32", stream_sha256),
+        ("bytes", gcm_records),
     ])
 
 
@@ -183,4 +198,6 @@ def decode_journal(journal: bytes) -> dict:
         "filtered_begins": uint_array(uint(11)),
         "filtered_lengths": uint_array(uint(12)),
         "filtered_contents": bytes_array(uint(13)),
+        "stream_sha256": word(14),
+        "gcm_records": dyn(uint(15)),
     }

@@ -31,7 +31,7 @@ class GuestOutput:
 
 
 def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
-              ) -> GuestOutput:
+              require_trust_anchor: bool = True) -> GuestOutput:
     """Execute the guest semantics.  Raises ReplayError if the recorded
     session is not a valid, self-consistent TLS session bound to the request.
     """
@@ -40,11 +40,13 @@ def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
     with recording() as modmul_rec:
         return _run_guest_recorded(
             guest_input, modmul_rec,
-            require_cert_validity=require_cert_validity)
+            require_cert_validity=require_cert_validity,
+            require_trust_anchor=require_trust_anchor)
 
 
 def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
-                        require_cert_validity: bool) -> GuestOutput:
+                        require_cert_validity: bool,
+                        require_trust_anchor: bool) -> GuestOutput:
     resp = guest_input.response
     replay = replay_session(resp)
     if not replay.all_checks_pass():
@@ -60,6 +62,10 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
         raise ReplayError("certificate chain signatures invalid")
     if require_cert_validity and not chain["validity"]:
         raise ReplayError("certificate chain not valid at pinned time")
+    if require_trust_anchor and not chain["anchored"]:
+        raise ReplayError(
+            "certificate chain does not anchor to the embedded root store "
+            "(guest/roots.pem)")
 
     # the recorded request plaintext must be the request being attested
     expected_request = guest_input.request.request_info.request
@@ -69,11 +75,28 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
     from .origin import recover_origin_signer
 
     origin_signer = recover_origin_signer(guest_input.request)
+
+    # v2 binding fields: the stream-tape digest is computed through the
+    # witnessed SHA-256 path and published on the proof bus
+    # (RESULT_TAG_STREAM); the GCM record headers ground the control chip
+    from ..stark.bus import RESULT_TAG_JOURNAL, RESULT_TAG_STREAM
+    from ..stark.chips.gcm_control import pack_gcm_records
+
+    stream_sha256 = replay.sha256_recorder.sha256(
+        resp.stream, result_tag=RESULT_TAG_STREAM)
+    gcm_records = pack_gcm_records(replay.gcm_events)
+
     journal = encode_journal(
         guest_input,
         response_plaintext=replay.response_plaintext,
         root_spki_sha256=bytes.fromhex(chain["root_spki_sha256"]),
         origin_signer=origin_signer,
+        stream_sha256=stream_sha256,
+        gcm_records=gcm_records,
     )
+    # the journal digest itself is the proof's anchor: the SHA chip proves
+    # it over the witnessed journal bytes, the verifier recomputes it from
+    # the received journal (guest/journal.py, stark/machine.py)
+    replay.sha256_recorder.sha256(journal, result_tag=RESULT_TAG_JOURNAL)
     return GuestOutput(journal=journal, replay=replay, chain=chain,
                        modmul_events=modmul_rec.events)

@@ -207,12 +207,27 @@ class Certificate:
 
 def verify_chain(der_chain: list[bytes], hostname: str, unix_seconds: int) -> dict:
     """Verify the presented chain: each cert signed by its successor,
-    validity windows at the pinned clock, and leaf DNS identity.
+    validity windows at the pinned clock, leaf DNS identity, and the chain
+    anchored to the embedded root store (guest/roots.pem — the framework
+    equivalent of the reference pinning webpki-roots,
+    crates/input-builder/src/request.rs:25-27).
 
-    Trust-anchor policy: the last presented cert's issuer must be checked
-    against a root store by the caller (the reference embeds webpki-roots in
-    the guest; this environment has no network to refresh one, so the chain
-    root subject + SPKI hash are surfaced for the journal instead)."""
+    Anchoring: the last presented cert either IS a store anchor (matched
+    by SPKI), or its issuer names a store anchor whose key verifies its
+    signature — both run through the framework's own witnessed RSA/ECDSA
+    verifiers so the anchor check is part of the proven workload.  The
+    journal's root_spki_sha256 is the matched ANCHOR's SPKI digest."""
+    import hashlib
+
+    from cryptography.hazmat.primitives import serialization
+
+    from .roots import anchor_spki_hashes, find_anchor_by_subject
+
+    def spki(cert_obj) -> bytes:
+        return cert_obj.public_key().public_bytes(
+            serialization.Encoding.DER,
+            serialization.PublicFormat.SubjectPublicKeyInfo)
+
     certs = [Certificate.parse(d) for d in der_chain]
     result = {
         "hostname_match": certs[0].matches_hostname(hostname),
@@ -221,14 +236,26 @@ def verify_chain(der_chain: list[bytes], hostname: str, unix_seconds: int) -> di
             certs[i].verify_signed_by(certs[i + 1]) for i in range(len(certs) - 1)
         ),
     }
-    import hashlib
 
-    from cryptography.hazmat.primitives import serialization
-
-    result["root_spki_sha256"] = hashlib.sha256(
-        certs[-1]._cert.public_key().public_bytes(
-            serialization.Encoding.DER,
-            serialization.PublicFormat.SubjectPublicKeyInfo,
-        )
-    ).hexdigest()
+    last = certs[-1]
+    last_spki_hash = hashlib.sha256(spki(last._cert)).digest()
+    anchored = False
+    anchor_spki = None
+    if last_spki_hash in anchor_spki_hashes():
+        # the chain presented a root that is itself in the store
+        anchored = True
+        anchor_spki = last_spki_hash
+    else:
+        issuer_der = last._cert.issuer.public_bytes()
+        for anchor in find_anchor_by_subject(issuer_der):
+            anchor_cert = Certificate(
+                der=anchor.public_bytes(serialization.Encoding.DER),
+                _cert=anchor)
+            if last.verify_signed_by(anchor_cert):
+                anchored = True
+                anchor_spki = hashlib.sha256(spki(anchor)).digest()
+                break
+    result["anchored"] = anchored
+    result["root_spki_sha256"] = (
+        anchor_spki.hex() if anchor_spki is not None else last_spki_hash.hex())
     return result

@@ -1,17 +1,16 @@
-"""Guest-witness → AES-128 chip bridge: prove/verify the recorded session's
-AES-GCM counter-mode keystream blocks (SURVEY.md §3.4 record-decryption
-workload)."""
+"""Guest-witness → AES-128 chip bridge (SURVEY.md §3.4 record-decryption
+workload).  Builds the machine ChipInstance proving every AES block
+encryption the guest's GCM decryptions performed — H = E_K(0), the tag
+mask E_K(J0), and the CTR keystream — each published on the bus as
+(AES_ENC, eid, key, input, output) for the GCM control chip."""
 
 from __future__ import annotations
 
 from ..guest.crypto.gcm import GCMEvent
 from ..stark.chips.aes128 import Aes128Air, aes128_trace
-from ..stark.config import StarkConfig
-from ..stark.proof import StarkProof
-from ..stark.prover import prove
-from ..stark.verifier import verify
+from ..stark.machine import ChipInstance
 
-__all__ = ["prove_gcm_events", "verify_aes128_proof", "aes128_air"]
+__all__ = ["aes128_instance", "aes128_air"]
 
 _AIR = Aes128Air()
 
@@ -20,16 +19,17 @@ def aes128_air() -> Aes128Air:
     return _AIR
 
 
-def prove_gcm_events(events: list[GCMEvent], config: StarkConfig) -> bytes:
-    """STARK-prove every AES-128 keystream block (counter encryption) of the
-    guest's GCM decryptions; the final block binds as public values."""
+def aes_event_blocks(events: list[GCMEvent]) -> list[tuple[int, bytes, bytes]]:
+    """Every (eid, key, input_block) encryption of the recorded events."""
     blocks = []
-    for ev in events:
+    for eid, ev in enumerate(events):
+        blocks.append((eid, ev.key, b"\x00" * 16))
+        blocks.append((eid, ev.key, ev.nonce + b"\x00\x00\x00\x01"))
         for cb in ev.counter_blocks:
-            blocks.append((ev.key, cb))
-    trace, public = aes128_trace(blocks)
-    return prove(_AIR, trace, public, config).to_bytes()
+            blocks.append((eid, ev.key, cb))
+    return blocks
 
 
-def verify_aes128_proof(proof_bytes: bytes, config: StarkConfig) -> bool:
-    return verify(_AIR, StarkProof.from_bytes(proof_bytes), config)
+def aes128_instance(events: list[GCMEvent]) -> ChipInstance:
+    trace, publics = aes128_trace(aes_event_blocks(events))
+    return ChipInstance(air=_AIR, trace=trace, publics=publics)

@@ -1,34 +1,41 @@
-"""Guest-witness → GHASH chip bridge: prove/verify the GF(2^128)
-authentication-tag polynomial of the recorded session's AES-GCM record
-decryptions (SURVEY.md §3.4; complements the AES-128 keystream chip —
-together they cover the full AES-GCM record-protection workload)."""
+"""Guest-witness → GHASH chip bridge (SURVEY.md §3.4; together with the
+AES-128 and GCM-control chips this covers the AES-GCM record-protection
+workload).  Builds the machine ChipInstance proving the GF(2^128)
+authentication polynomial of every recorded GCM decryption; the bus binds
+each event's h and mask to the control chip and publishes
+tag = S ⊕ E_K(J0)."""
 
 from __future__ import annotations
 
 from ..guest.crypto.gcm import GCMEvent
+from ..stark.chips.gcm_control import GcmControlAir, gcm_control_trace
 from ..stark.chips.ghash import GhashAir, gcm_event_ghash, ghash_trace
-from ..stark.config import StarkConfig
-from ..stark.proof import StarkProof
-from ..stark.prover import prove
-from ..stark.verifier import verify
+from ..stark.machine import ChipInstance
 
-__all__ = ["prove_ghash_events", "verify_ghash_proof", "ghash_air"]
+__all__ = ["ghash_instance", "ghash_air", "gcm_control_instance",
+           "gcm_control_air"]
 
 _AIR = GhashAir()
+_CTRL_AIR = GcmControlAir()
 
 
 def ghash_air() -> GhashAir:
     return _AIR
 
 
-def prove_ghash_events(events: list[GCMEvent], config: StarkConfig) -> bytes:
-    """STARK-prove the GHASH computation of every recorded GCM decryption;
-    the final event's S = GHASH(h, AAD ‖ CT ‖ len) binds as public values
-    (tag = S ⊕ E_K(J0), with E_K(J0) proven by the AES-128 chip)."""
-    ghash_events = [gcm_event_ghash(ev) for ev in events]
-    trace, public = ghash_trace(ghash_events)
-    return prove(_AIR, trace, public, config).to_bytes()
+def gcm_control_air() -> GcmControlAir:
+    return _CTRL_AIR
 
 
-def verify_ghash_proof(proof_bytes: bytes, config: StarkConfig) -> bool:
-    return verify(_AIR, StarkProof.from_bytes(proof_bytes), config)
+def ghash_instance(events: list[GCMEvent]) -> ChipInstance:
+    gh_events = []
+    for eid, ev in enumerate(events):
+        h, blocks = gcm_event_ghash(ev)
+        gh_events.append((eid, h, blocks, int.from_bytes(ev.j0_mask, "big")))
+    trace, publics = ghash_trace(gh_events)
+    return ChipInstance(air=_AIR, trace=trace, publics=publics)
+
+
+def gcm_control_instance(events: list[GCMEvent]) -> ChipInstance:
+    trace, publics = gcm_control_trace(events)
+    return ChipInstance(air=_CTRL_AIR, trace=trace, publics=publics)

@@ -1,48 +1,68 @@
-"""Guest-witness → ModMul chip bridge: prove/verify the recorded modular
-multiplications of every EC operation in the session — ECDHE shared-secret
-derivation, ECDSA certificate / ServerKeyExchange / origin-signature
-checks (the reference's bigint/EC precompile workload, SURVEY.md §2.2.B
-`sp1-curves`; §3.4 "ECDHE scalar-mult", "secp256k1 signature")."""
+"""Guest-witness → ModMul chip bridge: prove the recorded modular
+multiplications of every big-integer operation in the session — ECDHE
+shared-secret derivation, ECDSA certificate / ServerKeyExchange / origin-
+signature checks, x25519/ed25519, and RSA signature verification (the
+reference's bigint/EC precompile workload, SURVEY.md §2.2.B `sp1-curves`;
+§3.4 "ECDHE scalar-mult", "webpki RSA/ECDSA verify", "secp256k1
+signature").  Events are routed to width-class chip instances
+(stark/chips/modmul.py): 256-bit one-hot curve moduli, 384-bit for P-384,
+and witnessed-modulus RSA widths."""
 
 from __future__ import annotations
 
-from ..stark.chips.modmul import MODULI_256, ModMul256Air, modmul_trace
-from ..stark.config import StarkConfig
-from ..stark.proof import StarkProof
-from ..stark.prover import prove
-from ..stark.verifier import verify
+from ..stark.chips.modmul import (
+    MODULI_256,
+    MODULI_384,
+    modmul_air_256,
+    modmul_air_384,
+    modmul_air_rsa,
+)
+from ..stark.machine import ChipInstance
 
-__all__ = ["prove_modmul_events", "verify_modmul_proof", "modmul_air"]
+__all__ = ["modmul_instances", "modmul_air", "modmul_instance"]
 
-_AIR = ModMul256Air()
-
-
-def modmul_air() -> ModMul256Air:
-    return _AIR
-
-
-def prove_modmul_events(events, config: StarkConfig) -> bytes:
-    """STARK-prove every recorded 256-bit modular multiplication.  The
-    final event's product binds as public values (for the fixture session
-    that is the last product of the secp256k1 origin recovery).
-
-    Events whose modulus falls outside this chip's 256-bit set (e.g. the
-    P-384 field of a P-384 certificate signature) are proven by the wider
-    width-class chips at the machine level; this per-chip entry point
-    proves the covered subset and logs what it skipped rather than failing
-    the whole session."""
-    import logging
-
-    covered = [ev for ev in events if ev.m in set(MODULI_256)]
-    if len(covered) != len(events):
-        extra = {hex(ev.m) for ev in events if ev.m not in set(MODULI_256)}
-        logging.getLogger(__name__).warning(
-            "modmul chip: %d/%d events use moduli outside the 256-bit set "
-            "(%s) — proven by the wider width-class chips",
-            len(events) - len(covered), len(events), sorted(extra))
-    trace, public = modmul_trace(covered)
-    return prove(_AIR, trace, public, config).to_bytes()
+_SET_256 = set(MODULI_256)
+_SET_384 = set(MODULI_384)
 
 
-def verify_modmul_proof(proof_bytes: bytes, config: StarkConfig) -> bool:
-    return verify(_AIR, StarkProof.from_bytes(proof_bytes), config)
+def modmul_air():
+    return modmul_air_256()
+
+
+def _rsa_bits(m: int) -> int:
+    for bits in (1024, 2048, 4096):
+        if m.bit_length() <= bits:
+            return bits
+    raise ValueError(f"modulus too wide for the RSA chips: "
+                     f"{m.bit_length()} bits")
+
+
+def modmul_instances(events) -> list[ChipInstance]:
+    """Route events to width-class chips; one ChipInstance per width that
+    has events.  Every recorded modulus is covered: curve moduli by the
+    one-hot 256/384 chips, anything else by a witnessed-modulus RSA
+    width."""
+    airs = {}
+    buckets: dict[str, list] = {}
+    for ev in events:
+        if ev.m in _SET_256:
+            air = modmul_air_256()
+        elif ev.m in _SET_384:
+            air = modmul_air_384()
+        else:
+            air = modmul_air_rsa(_rsa_bits(ev.m))
+        airs[air.name] = air
+        buckets.setdefault(air.name, []).append(ev)
+    out = []
+    for name, evs in sorted(buckets.items()):
+        air = airs[name]
+        trace, publics = air.trace(evs)
+        out.append(ChipInstance(air=air, trace=trace, publics=publics))
+    return out
+
+
+def modmul_instance(events) -> ChipInstance:
+    """The 256-bit instance alone (single-chip tests)."""
+    evs = [ev for ev in events if ev.m in _SET_256]
+    trace, publics = modmul_air_256().trace(evs)
+    return ChipInstance(air=modmul_air_256(), trace=trace, publics=publics)

@@ -31,6 +31,7 @@ import numpy as np
 
 from ...guest.crypto.aes import SBOX
 from ..air import Air, AirBuilder
+from ..bus import BUS_AES_ENC, np_bus_inverse_terms
 from ..ext_val import ExtVal
 from ..lookup import fp4_batch_inverse
 
@@ -72,6 +73,11 @@ def _build_layout() -> _Layout:
     L.add("ks_sb", 32)    # SubWord(RotWord(w3)) output bits
     L.add("ks1", 32)      # w0 ^ SubWord(RotWord(w3))  (pre-rcon)
     L.add("mult", 1)      # lookup multiplicities (rows 0..255)
+    # --- bus metadata (constant within each 16-row group) ---
+    L.add("eid", 1)       # GCM event id this block belongs to
+    L.add("key", 8)       # cipher key, 16-bit BE limbs (bound at row 0)
+    L.add("inb", 8)       # input block limbs (bound at row 0: st0 ^ rk0)
+    L.add("ms", 1)        # send multiplicity (1 real block, 0 padding)
     return L
 
 
@@ -140,11 +146,13 @@ def _stage_values(terms):
 
 class Aes128Air(Air):
     width = LAYOUT.width
-    num_public = 16  # the final keystream block's 16 bytes
+    num_public = 0
     max_constraint_degree = 3
-    #: 20 looked-up tuples (inv_v each) + table inverse + running sum
-    perm_width = 4 * (N_LOOKUPS + 2)
+    #: 20 looked-up tuples (inv_v) + table inverse + bus send inverse + u
+    #: (materialized row term) + acc (lookup terms AND bus sends)
+    perm_width = 4 * (N_LOOKUPS + 4)
     num_perm_challenges = 2  # γ (lookup), δ (tuple compression)
+    has_bus = True
 
     def periodic_columns(self) -> list:
         is_r0 = np.zeros(ROWS_PER_BLOCK, dtype=np.uint32)
@@ -164,8 +172,10 @@ class Aes128Air(Air):
         is_idle_carry[N_ROUNDS : ROWS_PER_BLOCK - 1] = 1
         tbl_in = np.arange(256, dtype=np.uint32)
         tbl_out = np.array(SBOX, dtype=np.uint32)
+        is_glast = np.zeros(ROWS_PER_BLOCK, dtype=np.uint32)
+        is_glast[ROWS_PER_BLOCK - 1] = 1
         return [is_r0, is_active, is_last_active] + rcon_bits \
-            + [tbl_in, tbl_out, is_idle_carry]
+            + [tbl_in, tbl_out, is_idle_carry, is_glast]
 
     # ------------------------------------------------------------------
 
@@ -186,12 +196,13 @@ class Aes128Air(Air):
 
     def eval(self, b: AirBuilder) -> None:
         L = LAYOUT
-        _is_r0, is_active, is_last_active = b.periodic[0:3]
+        is_r0, is_active, is_last_active = b.periodic[0:3]
         rcon_bits = b.periodic[3:11]
         tbl_in, tbl_out = b.periodic[11], b.periodic[12]
         is_idle_carry = b.periodic[13]
+        is_glast = b.periodic[14]
         not_last_active = is_active * (1 - is_last_active)  # rounds 0..8
-        gamma, delta = b.challenges
+        gamma, delta = b.challenges[0], b.challenges[1]
 
         def loc(name, i):
             return b.local[L[name].start + i]
@@ -223,24 +234,66 @@ class Aes128Air(Air):
         tval = ExtVal.from_base(tbl_in) + delta * tbl_out
         b.assert_ext_zero(inv_t * (gamma - tval) - 1)
 
-        # running sum: S accumulates Σ_j inv_v_j − mult·inv_t per row
-        s = b.perm_ext(N_LOOKUPS + 1)
-        s_next = b.perm_ext(N_LOOKUPS + 1, nxt=True)
+        # --- bus metadata: group-constant eid/key/inb/ms; key and input
+        # bound to the round-0 state/round-key bits ---
+        def dpow(i):
+            return b.challenges[1 + i]
+
+        LIMB_W = [256 << k for k in range(8)] + [1 << k for k in range(8)]
+
+        def limb16(name, j):
+            """16-bit BE limb j of the 16-byte bit-decomposed value:
+            limb = byte(2j)·256 + byte(2j+1) (bytes are LSB-first bits)."""
+            sl0 = L[name].start + 16 * j
+            return b.dot_const(b.local_group(slice(sl0, sl0 + 16)), LIMB_W)
+
+        eid = loc("eid", 0)
+        ms = loc("ms", 0)
+        b.assert_bool(ms)
+        not_glast = 1 - is_glast
+        for nm in ("eid", "ms"):
+            b.assert_zero(not_glast * (b.next[L[nm].start] - loc(nm, 0)))
+        b.assert_zero_vec(
+            not_glast * (b.next_group(L["key"]) - b.local_group(L["key"])), 8)
+        b.assert_zero_vec(
+            not_glast * (b.next_group(L["inb"]) - b.local_group(L["inb"])), 8)
+        for j in range(8):
+            b.assert_zero(is_r0 * (loc("key", j) - limb16("rk", j)))
+            # input block = st(row 0) ^ rk(row 0), packed to the limb
+            xor_pack = None
+            for k in range(16):
+                x_ = b.local[L["st"].start + 16 * j + k]
+                y_ = b.local[L["rk"].start + 16 * j + k]
+                t_ = (x_ + y_ - 2 * (x_ * y_)) * LIMB_W[k]
+                xor_pack = t_ if xor_pack is None else xor_pack + t_
+            b.assert_zero(is_r0 * (loc("inb", j) - xor_pack))
+
+        # --- bus send: (AES_ENC, eid, key, input, output) on each real
+        # group's last row, consumed by the GCM control chip ---
+        fp_send = ExtVal.from_base(BUS_AES_ENC) + dpow(0) * eid
+        for j in range(8):
+            fp_send = fp_send + dpow(1 + j) * loc("key", j)
+            fp_send = fp_send + dpow(9 + j) * loc("inb", j)
+            fp_send = fp_send + dpow(17 + j) * limb16("st", j)
+        inv_send = b.perm_ext(N_LOOKUPS + 1)
+        b.assert_ext_zero(inv_send * (gamma - fp_send) - 1)
+
+        # --- accumulator: in-chip S-box lookup terms + gated bus send ---
+        u = b.perm_ext(N_LOOKUPS + 2)
+        u_n = b.perm_ext(N_LOOKUPS + 2, nxt=True)
+        acc = b.perm_ext(N_LOOKUPS + 3)
+        acc_n = b.perm_ext(N_LOOKUPS + 3, nxt=True)
         mult = loc("mult", 0)
-        mult_next = b.next[L["mult"].start]
-
-        def row_term(perm_at, m):
-            acc = None
-            for j in range(N_LOOKUPS):
-                term = perm_at(j)
-                acc = term if acc is None else acc + term
-            return acc - m * perm_at(N_LOOKUPS)
-
-        term_first = row_term(lambda j: b.perm_ext(j), mult)
-        b.assert_ext_zero((s - term_first) * b.is_first_row)
-        term_next = row_term(lambda j: b.perm_ext(j, nxt=True), mult_next)
-        b.assert_ext_zero((s_next - s - term_next) * b.is_transition)
-        b.assert_ext_zero(s * b.is_last_row)
+        lk = None
+        for j in range(N_LOOKUPS):
+            term = b.perm_ext(j)
+            lk = term if lk is None else lk + term
+        u_def = lk - mult * b.perm_ext(N_LOOKUPS) + inv_send * (ms * is_glast)
+        b.assert_ext_zero(u - u_def)
+        b.assert_ext_zero((acc - u) * b.is_first_row)
+        b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
+        for ell in range(4):
+            b.when_last_row(acc.c[ell] - b.public[ell])
 
         # --- MixColumns xor stages (definitions, every row) + round
         # transition st' = MixColumns(ShiftRows(sb)) ^ rk' (rounds 0..8) ---
@@ -318,16 +371,13 @@ class Aes128Air(Air):
         for k in range(128):
             b.assert_zero(is_idle_carry * (nxt("st", k) - loc("st", k)))
 
-        # --- public binding: global last row's state bytes ---
-        for i in range(16):
-            b.when_last_row(dot("st", 8 * i) - b.public[i])
 
     # ------------------------------------------------------------------
 
     def generate_perm_trace(self, main, public_values, challenges):
         from ..lookup import np_ext_mul, np_logup_terms
 
-        gamma, delta = challenges
+        gamma, delta = challenges[0], challenges[1]
         n = main.shape[0]
         L = LAYOUT
         P_ = 2013265921
@@ -353,16 +403,35 @@ class Aes128Air(Air):
         inv_t = np_logup_terms(gamma, t_in, None, t_out, delta)  # (n, 4)
 
         mult = main[:, L["mult"].start].astype(np.uint64)
-        # term = Σ_j inv_v_j − m·inv_t ; S = prefix sum
+        # term = Σ_j inv_v_j − m·inv_t + ms·is_glast·inv_send; acc = prefix
         term = inv_v.sum(axis=1) % P_
         m_it = (inv_t.astype(np.uint64) * mult[:, None]) % P_
         term = (term + P_ - m_it) % P_
-        s = np.cumsum(term.astype(object), axis=0) % P_  # exact big-int sum
+
+        eid = main[:, L["eid"].start].astype(np.uint64)
+        key = main[:, L["key"]].astype(np.uint64)
+        inb = main[:, L["inb"]].astype(np.uint64)
+        ms = main[:, L["ms"].start].astype(np.uint64)
+        limb_w = np.array([256 << k for k in range(8)]
+                          + [1 << k for k in range(8)], dtype=np.uint64)
+        out_l = np.zeros((n, 8), dtype=np.uint64)
+        for j in range(8):
+            sl = L["st"].start + 16 * j
+            bits = main[:, sl : sl + 16].astype(np.uint64)
+            out_l[:, j] = (bits * limb_w[None, :]).sum(axis=1)
+        send_pl = np.concatenate([eid[:, None], key, inb, out_l], axis=1)
+        inv_send = np_bus_inverse_terms(challenges, BUS_AES_ENC, send_pl)
+        t_idx = np.arange(n) % ROWS_PER_BLOCK
+        glast = (t_idx == ROWS_PER_BLOCK - 1).astype(np.uint64)
+        u = (term + (ms * glast)[:, None] * inv_send.astype(np.uint64)) % P_
+        s = np.cumsum(u.astype(object), axis=0) % P_  # exact big-int sum
 
         out = np.zeros((n, self.perm_width), dtype=np.uint32)
         out[:, : 4 * N_LOOKUPS] = inv_v.reshape(n, -1)
         out[:, 4 * N_LOOKUPS : 4 * N_LOOKUPS + 4] = inv_t
-        out[:, 4 * (N_LOOKUPS + 1) :] = s.astype(np.uint64)
+        out[:, 4 * (N_LOOKUPS + 1) : 4 * (N_LOOKUPS + 2)] = inv_send
+        out[:, 4 * (N_LOOKUPS + 2) : 4 * (N_LOOKUPS + 3)] = u.astype(np.uint64)
+        out[:, 4 * (N_LOOKUPS + 3) :] = s.astype(np.uint64)
         return out
 
 # ---------------------------------------------------------------------------
@@ -370,12 +439,13 @@ class Aes128Air(Air):
 # ---------------------------------------------------------------------------
 
 
-def aes128_trace(blocks: list[tuple[bytes, bytes]], min_log_n: int = 8):
-    """Build the chip trace from (key, plaintext_block) pairs — for the
-    keystream chip the plaintext is the GCM counter block, the output the
-    keystream block.  Padded at the FRONT with zero groups (min 256 rows so
-    the S-box table fits); the LAST pair's output is bound as public
-    values.  Returns (trace (n, width) uint32, public_values list[int])."""
+def aes128_trace(blocks: list[tuple[int, bytes, bytes]], min_log_n: int = 8):
+    """Build the chip trace from (event_id, key, input_block) triples —
+    every block encryption a GCM event performs: E_K(0) = H, E_K(J0) =
+    tag mask, and the CTR keystream blocks.  Each real group publishes
+    (AES_ENC, eid, key, input, output) on the bus for the GCM control
+    chip.  Padded at the FRONT with silent zero groups (min 256 rows so
+    the S-box table fits).  Returns (trace, [])."""
     from ...guest.crypto.aes import AES
 
     if not blocks:
@@ -386,7 +456,7 @@ def aes128_trace(blocks: list[tuple[bytes, bytes]], min_log_n: int = 8):
     n = 1 << log_n
     n_groups = n // ROWS_PER_BLOCK
     pad = n_groups - n_real
-    all_blocks = [(b"\x00" * 16, b"\x00" * 16)] * pad + list(blocks)
+    all_blocks = [(0, b"\x00" * 16, b"\x00" * 16)] * pad + list(blocks)
 
     L = LAYOUT
     trace = np.zeros((n, L.width), dtype=np.uint32)
@@ -413,9 +483,15 @@ def aes128_trace(blocks: list[tuple[bytes, bytes]], min_log_n: int = 8):
         set_bits(row, L["ks1"].start, ks1)
         return sb_bytes
 
-    output_state = None
-    for gidx, (key, pt) in enumerate(all_blocks):
+    for gidx, (eid, key, pt) in enumerate(all_blocks):
         base = gidx * ROWS_PER_BLOCK
+        rows = slice(base, base + ROWS_PER_BLOCK)
+        is_pad = gidx < pad
+        trace[rows, L["eid"].start] = eid
+        trace[rows, L["ms"].start] = 0 if is_pad else 1
+        for j in range(8):
+            trace[rows, L["key"].start + j] = (key[2 * j] << 8) | key[2 * j + 1]
+            trace[rows, L["inb"].start + j] = (pt[2 * j] << 8) | pt[2 * j + 1]
         aes = AES(key)
         rks = aes.round_keys  # 11 × 16 bytes
         _ct, states = aes.encrypt_block_trace(pt)
@@ -431,7 +507,6 @@ def aes128_trace(blocks: list[tuple[bytes, bytes]], min_log_n: int = 8):
             set_bits(row, L["st"].start, out_state)
             set_bits(row, L["rk"].start, rk_bytes)
             fill_defs(row, out_state, rk_bytes)
-        output_state = out_state
 
     # lookup multiplicities: count every (input) byte the trace looks up
     counts = np.zeros(256, dtype=np.uint64)
@@ -455,5 +530,4 @@ def aes128_trace(blocks: list[tuple[bytes, bytes]], min_log_n: int = 8):
             take = min(c, 2**30)
             share = c // reps + (1 if rep < c % reps else 0)
             trace[row, L["mult"].start] = share
-    public = [int(x) for x in output_state]
-    return trace, public
+    return trace, []

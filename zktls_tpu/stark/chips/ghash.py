@@ -36,8 +36,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..air import Air, AirBuilder
+from ..bus import BUS_GCM_H, BUS_GCM_MASK, BUS_GCM_TAG, np_bus_inverse_terms
+from ..ext_val import ExtVal
 
 __all__ = ["GhashAir", "ghash_trace", "ROWS_PER_BLOCK"]
+
+P = 2013265921
 
 ROWS_PER_BLOCK = 128
 
@@ -71,6 +75,12 @@ def _build_layout() -> _Layout:
     L.add("t", 128)     # acc ⊕ x_127·v (materialized; degree control)
     L.add("h", 128)     # the event's hash key, carried through the event
     L.add("es", 1)      # event-start flag (read at group row 0)
+    # --- bus metadata ---
+    L.add("eid", 1)     # GCM event id (constant through the event)
+    L.add("live", 1)    # 1 for real event groups, 0 for padding
+    L.add("mask", 128)  # E_K(J0) bits (bound at the event end by the bus)
+    L.add("m_start", 1)  # = is_r0·es·live (receive H here)
+    L.add("m_end", 1)    # = is_glast·es_next·live (mask recv + tag send)
     return L
 
 
@@ -79,17 +89,23 @@ LAYOUT = _build_layout()
 
 class GhashAir(Air):
     width = LAYOUT.width
-    num_public = 16  # final event's GHASH output S, big-endian bytes
+    num_public = 0
     max_constraint_degree = 3
+    #: inv_h ‖ inv_mask ‖ inv_tag ‖ u ‖ acc (extension elements)
+    perm_width = 20
+    num_perm_challenges = 2
+    has_bus = True
 
     def periodic_columns(self) -> list:
         is_glast = np.zeros(ROWS_PER_BLOCK, dtype=np.uint32)
         is_glast[ROWS_PER_BLOCK - 1] = 1
-        return [is_glast]
+        is_r0 = np.zeros(ROWS_PER_BLOCK, dtype=np.uint32)
+        is_r0[0] = 1
+        return [is_glast, is_r0]
 
     def eval(self, b: AirBuilder) -> None:
         L = LAYOUT
-        is_glast = b.periodic[0]
+        is_glast, is_r0 = b.periodic[0], b.periodic[1]
         within = 1 - is_glast  # rows 0..126 of each group transition inward
 
         def loc(name, i):
@@ -159,11 +175,122 @@ class GhashAir(Air):
         b.assert_zero_vec(b.is_first_row * (V - H), 128)
         b.when_first_row(es - 1)
 
-        # --- public binding: the global last row's t is the final S ---
-        for j in range(16):
-            sl = L["t"].start + 8 * (15 - j)
-            byte = b.dot_const(b.local_group(slice(sl, sl + 8)), POW8)
-            b.when_last_row(byte - b.public[j])
+        # --- bus metadata constraints ---
+        eid = loc("eid", 0)
+        live = loc("live", 0)
+        m_start = loc("m_start", 0)
+        m_end = loc("m_end", 0)
+        MASK = b.local_group(L["mask"])
+        NMASK = b.next_group(L["mask"])
+        for c in (live, m_start, m_end):
+            b.assert_bool(c)
+        b.assert_zero_vec(MASK * (MASK - 1), 128)
+        # group-constant: eid/live/mask within the group; eid/live carry
+        # across group boundaries of the same event
+        b.assert_zero(within * (nxt("eid", 0) - eid))
+        b.assert_zero(within * (nxt("live", 0) - live))
+        b.assert_zero_vec(within * (NMASK - MASK), 128)
+        b.assert_zero(is_glast * (1 - es_next) * (nxt("eid", 0) - eid))
+        b.assert_zero(is_glast * (1 - es_next) * (nxt("live", 0) - live))
+        # receive/send gating: H at the event start, mask+tag at the event
+        # end (the wrap row sees es_next = 1 from the constrained first row)
+        b.assert_zero(m_start - is_r0 * es * live)
+        b.assert_zero(m_end - is_glast * es_next * live)
+
+        # --- bus messages (limbs are big-endian 16-bit pairs; bit k of
+        # byte j of the 16-byte value sits at column 8·(15−j)+k) ---
+        gamma = b.challenges[0]
+
+        def dpow(i):
+            return b.challenges[1 + i]
+
+        def limb16(name, j):
+            v = None
+            for byte_off, scale in ((2 * j, 256), (2 * j + 1, 1)):
+                sl = L[name].start + 8 * (15 - byte_off)
+                part = b.dot_const(b.local_group(slice(sl, sl + 8)),
+                                   [scale << k for k in range(8)])
+                v = part if v is None else v + part
+            return v
+
+        def tag_limb(j):
+            """limb j of t ⊕ mask (the event's authentication tag)."""
+            v = None
+            for byte_off, scale in ((2 * j, 256), (2 * j + 1, 1)):
+                base_col = 8 * (15 - byte_off)
+                for k in range(8):
+                    tb = loc("t", base_col + k)
+                    mb = loc("mask", base_col + k)
+                    term = (tb + mb - 2 * (tb * mb)) * (scale << k)
+                    v = term if v is None else v + term
+            return v
+
+        fp_h = ExtVal.from_base(BUS_GCM_H) + dpow(0) * eid
+        fp_mask = ExtVal.from_base(BUS_GCM_MASK) + dpow(0) * eid
+        fp_tag = ExtVal.from_base(BUS_GCM_TAG) + dpow(0) * eid
+        for j in range(8):
+            fp_h = fp_h + dpow(1 + j) * limb16("h", j)
+            fp_mask = fp_mask + dpow(1 + j) * limb16("mask", j)
+            fp_tag = fp_tag + dpow(1 + j) * tag_limb(j)
+        inv_h = b.perm_ext(0)
+        inv_mask = b.perm_ext(1)
+        inv_tag = b.perm_ext(2)
+        u = b.perm_ext(3)
+        acc = b.perm_ext(4)
+        u_n = b.perm_ext(3, nxt=True)
+        acc_n = b.perm_ext(4, nxt=True)
+        b.assert_ext_zero(inv_h * (gamma - fp_h) - 1)
+        b.assert_ext_zero(inv_mask * (gamma - fp_mask) - 1)
+        b.assert_ext_zero(inv_tag * (gamma - fp_tag) - 1)
+        u_def = (inv_tag - inv_mask) * m_end - inv_h * m_start
+        b.assert_ext_zero(u - u_def)
+        b.assert_ext_zero((acc - u) * b.is_first_row)
+        b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
+        for ell in range(4):
+            b.when_last_row(acc.c[ell] - b.public[ell])
+
+    # ------------------------------------------------------------------
+
+    def generate_perm_trace(self, main, publics, challenges):
+        L = LAYOUT
+        n = main.shape[0]
+
+        def limbs_of(name):
+            out = np.zeros((n, 8), dtype=np.uint64)
+            bits = main[:, L[name]].astype(np.uint64)
+            for j in range(8):
+                for byte_off, scale in ((2 * j, 256), (2 * j + 1, 1)):
+                    base_col = 8 * (15 - byte_off)
+                    for k in range(8):
+                        out[:, j] += bits[:, base_col + k] * (scale << k)
+            return out
+
+        eid = main[:, L["eid"].start].astype(np.uint64)[:, None]
+        h_l = limbs_of("h")
+        mask_l = limbs_of("mask")
+        t_bits = main[:, L["t"]].astype(np.uint64)
+        m_bits = main[:, L["mask"]].astype(np.uint64)
+        x_bits = t_bits ^ m_bits
+        tag_l = np.zeros((n, 8), dtype=np.uint64)
+        for j in range(8):
+            for byte_off, scale in ((2 * j, 256), (2 * j + 1, 1)):
+                base_col = 8 * (15 - byte_off)
+                for k in range(8):
+                    tag_l[:, j] += x_bits[:, base_col + k] * (scale << k)
+        inv_h = np_bus_inverse_terms(
+            challenges, BUS_GCM_H, np.concatenate([eid, h_l], axis=1))
+        inv_mask = np_bus_inverse_terms(
+            challenges, BUS_GCM_MASK, np.concatenate([eid, mask_l], axis=1))
+        inv_tag = np_bus_inverse_terms(
+            challenges, BUS_GCM_TAG, np.concatenate([eid, tag_l], axis=1))
+        m_start = main[:, L["m_start"].start].astype(np.uint64)[:, None]
+        m_end = main[:, L["m_end"].start].astype(np.uint64)[:, None]
+        u = (m_end * ((inv_tag.astype(np.uint64) + P
+                       - inv_mask.astype(np.uint64)) % P)
+             + P - m_start * inv_h.astype(np.uint64) % P) % P
+        acc = np.cumsum(u, axis=0) % P
+        return np.concatenate(
+            [inv_h, inv_mask, inv_tag, u, acc], axis=1).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -176,38 +303,43 @@ def _int_to_bits(v: int) -> np.ndarray:
     return np.array([(v >> k) & 1 for k in range(128)], dtype=np.uint32)
 
 
-def ghash_trace(events: list[tuple[int, list[int]]], min_log_n: int = 7):
-    """Build the chip trace from (h, [block ints]) events — each event is
-    one GHASH computation over its block sequence.  Front-padded with
-    all-zero event groups; the LAST event's final S binds as public values.
+def ghash_trace(events: list[tuple[int, int, list[int], int]],
+                min_log_n: int = 7):
+    """Build the chip trace from (event_id, h, [block ints], mask) events —
+    each one GHASH computation over its block sequence, with the event's
+    tag-whitening mask E_K(J0).  The bus binds h and mask to the GCM
+    control chip (which gets them from the AES chip) and publishes
+    tag = S ⊕ mask (which the control chip matches against the journal's
+    record header).  Front-padded with silent all-zero event groups.
 
-    Returns (trace (n, width) uint32, public_values list[int] 16 bytes).
+    Returns (trace (n, width) uint32, []).
     """
-    if not events or not any(blks for _h, blks in events):
+    if not events or not any(blks for _e, _h, blks, _m in events):
         raise ValueError("need at least one event with one block")
-    groups: list[tuple[int, int, int]] = []  # (h, x_in, es)
-    final_s = 0
-    for h, blocks in events:
+    # (eid, h, x_in, es, live, mask, ev_end)
+    groups: list[tuple] = []
+    for eid, h, blocks, mask in events:
         y = 0
         for gi_, blk in enumerate(blocks):
-            groups.append((h, y ^ blk, 1 if gi_ == 0 else 0))
+            groups.append([eid, h, y ^ blk, 1 if gi_ == 0 else 0, 1, mask,
+                           1 if gi_ == len(blocks) - 1 else 0])
             y = _ghash_mul_ref(y ^ blk, h)
-        final_s = y
 
     n_rows = len(groups) * ROWS_PER_BLOCK
     log_n = max(min_log_n, (n_rows - 1).bit_length())
     n = 1 << log_n
     pad = n // ROWS_PER_BLOCK - len(groups)
-    groups = [(0, 0, 1)] * pad + groups
+    groups = [[0, 0, 0, 1, 0, 0, 1]] * pad + groups
 
     L = LAYOUT
     trace = np.zeros((n, L.width), dtype=np.uint32)
     E1 = 0xE1 << 120
     M128 = (1 << 128) - 1
-    for gidx, (h, x_in, es) in enumerate(groups):
+    for gidx, (eid, h, x_in, es, live, mask, ev_end) in enumerate(groups):
         base = gidx * ROWS_PER_BLOCK
         acc, v, x = 0, h, x_in
         h_bits = _int_to_bits(h)
+        mask_bits = _int_to_bits(mask)
         for r in range(ROWS_PER_BLOCK):
             row = base + r
             bit = (x >> 127) & 1
@@ -217,14 +349,19 @@ def ghash_trace(events: list[tuple[int, list[int]]], min_log_n: int = 7):
             trace[row, L["x"]] = _int_to_bits(x)
             trace[row, L["t"]] = _int_to_bits(t)
             trace[row, L["h"]] = h_bits
+            trace[row, L["mask"]] = mask_bits
+            trace[row, L["eid"].start] = eid
+            trace[row, L["live"].start] = live
             if r == 0:
                 trace[row, L["es"].start] = es
+                trace[row, L["m_start"].start] = es * live
+            if r == ROWS_PER_BLOCK - 1:
+                trace[row, L["m_end"].start] = ev_end * live
             acc = t
             v = (v >> 1) ^ (E1 if v & 1 else 0)
             x = (x << 1) & M128
 
-    public = list(final_s.to_bytes(16, "big"))
-    return trace, public
+    return trace, []
 
 
 def _ghash_mul_ref(x: int, h: int) -> int:

@@ -1,319 +1,435 @@
-"""ModMul AIR chip — proves batches of 256-bit modular multiplications
-a · b ≡ r (mod m), the witness stream of every elliptic-curve operation
-the guest performs (ECDHE shared-secret derivation, ECDSA certificate /
-ServerKeyExchange verification, secp256k1 origin recovery — the workload
-of the reference's `sp1-curves` bigint/EC precompile chips, SURVEY.md
-§2.2.B; events recorded by `guest/crypto/modmul.py`).
+"""ModMul AIR chip family — proves batches of W-bit modular multiplications
+a · b ≡ r (mod m), the witness stream of every big-integer operation the
+guest performs: EC group law (ECDHE, ECDSA certificate / ServerKeyExchange
+verification, secp256k1 origin recovery), x25519/ed25519, and RSA
+signature verification — the workload of the reference's `sp1-curves`
+bigint/EC precompile chips (SURVEY.md §2.2.B; events recorded by
+`guest/crypto/modmul.py`).
 
-One event per row.  Operands are witnessed as 32 byte-limbs (little-
-endian); the modulus is selected from a fixed per-chip set by boolean
-one-hot flags, so its limbs are constraint *constants*, not columns.
+One event per row.  Operands are witnessed as 8-bit limbs (little-endian).
+The modulus is either selected from a fixed per-chip set by boolean
+one-hot flags (curve field/scalar moduli — its limbs are then constraint
+*constants*), or witnessed as limb columns (RSA, whose modulus comes from
+the certificate; binding it to the chain crosses chips via the bus,
+round-3 scope note).
 
 **Identity in point-evaluation form.**  With limb polynomials
-a(x) = Σ aᵢxⁱ etc. and the carry polynomial c(x) = Σ cₖxᵏ (deg ≤ 61,
+a(x) = Σ aᵢxⁱ etc. and the carry polynomial c(x) = Σ cₖxᵏ (deg ≤ 2L−3,
 cₖ the signed carry of coefficient k), correctness is the polynomial
 identity
 
     a(x)·b(x) − q(x)·m(x) − r(x) = (256 − x)·c(x)
 
-(q the witnessed quotient).  Both sides have degree ≤ 62, so agreement at
-the 63 points x = 1..63 forces coefficient-wise equality
-tₖ = 256·cₖ − cₖ₋₁ over Baby-Bear; byte range checks bound
-|tₖ| < 2²¹ and |cₖ| < 2¹⁶, so each congruence is an integer equality,
-and evaluating at x = 256 telescopes to a·b = q·m + r exactly — i.e.
-r ≡ a·b (mod m) with a, b, q, r < 2²⁵⁶.  (r < m canonicity is not
-asserted; the chip proves congruence.)  Each point check is a handful of
-`dot_const` row-reductions, keeping the traced constraint graph ~50×
-smaller than coefficient-wise convolution.
+(q the witnessed quotient).  Both sides have degree ≤ 2L−2, so agreement
+at the 2L−1 points x = 1..2L−1 forces coefficient-wise equality
+tₖ = 256·cₖ − cₖ₋₁ over Baby-Bear; byte range checks bound |tₖ| and |cₖ|
+so each congruence is an integer equality (sum of magnitudes < P — the
+carry encoding grows a 2-bit top limb at the RSA widths exactly so this
+stays true), and evaluating at x = 256 telescopes to a·b = q·m + r
+exactly — i.e. r ≡ a·b (mod m) with a, b, q, r < 2^(8L).  (r < m
+canonicity is asserted separately: the prover witnesses d = m − 1 − r
+limb-wise, range-checked, with Σ(dᵢ + rᵢ)·xⁱ ≡ Σ mᵢxⁱ − 1 at the same
+points — so r < m whenever the flags select a real modulus.)
 
-Carries are offset-encoded as two bytes (cₖ + 2¹⁵ = lo + 256·hi).  Every
-limb and carry byte is range-checked against the periodic byte table with
-one LogUp argument; committed inverse columns are **paired** —
-w = 1/((γ−v₁)(γ−v₂)) with the degree-3 check w·(γ−v₁)·(γ−v₂) = 1 and the
-degree-2 running-sum term (2γ−v₁−v₂)·w — halving the permutation width.
-All 126 pair checks evaluate as ONE wide ExtVal expression over strided
-perm-column groups (builder.perm_ext_group).
+Carries are offset-encoded as bytes (cₖ + OFFSET = lo + 256·mid
+[+ 65536·top]).  Every limb and carry byte is range-checked against the
+periodic byte table with one LogUp argument; committed inverse columns
+are **paired** — w = 1/((γ−v₁)(γ−v₂)) with the degree-3 check
+w·(γ−v₁)·(γ−v₂) = 1 and the degree-2 running-sum term (2γ−v₁−v₂)·w —
+halving the permutation width.  All pair checks evaluate as ONE wide
+ExtVal expression over strided perm-column groups.
 
-The global last row binds its result r as 32 public-value bytes (the
-chronologically final EC product of the execution); rows are front-padded
-with 0·0 ≡ 0 (mod M₀) events.  Binding each event's operands to the
-consuming chip crosses chips via LogUp buses (round-1 scope note shared
-with the SHA-256/AES chips).
+The global last row binds its result r as public-value bytes; rows are
+front-padded with 0·0 ≡ 0 (mod M₀) events.  Binding each event's operands
+to the consuming chip crosses chips via the bus (round-3 scope note).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ...guest.crypto.ec import P256, SECP256K1
+from ...guest.crypto.ec import P256, P384, SECP256K1
 from ...ops.field_ref import P
 from ..air import Air, AirBuilder
 from ..ext_val import ExtVal
 
-__all__ = ["ModMul256Air", "modmul_trace", "MODULI_256"]
+__all__ = ["ModMulAir", "modmul_air_256", "modmul_air_384",
+           "modmul_air_rsa", "MODULI_256", "MODULI_384", "ModMul256Air",
+           "modmul_trace"]
 
-LIMBS = 32                 # 8-bit limbs per operand
-N_COEFF = 2 * LIMBS - 1    # product coefficients k = 0..62
-N_CARRY = N_COEFF - 1      # carry polynomial degree ≤ 61 (c₆₂ ≡ 0 implicit)
-OFFSET = 1 << 15           # carry offset encoding
-
-#: the modulus set of the 256-bit chip: the base and scalar fields of the
-#: curves the guest uses at this width (P-384 gets its own wider chip).
-MODULI_256: list[int] = [P256.p, P256.n, SECP256K1.p, SECP256K1.n]
-
-_MOD_LIMBS = [[(m >> (8 * i)) & 0xFF for i in range(LIMBS)]
-              for m in MODULI_256]
-
-#: evaluation points of the polynomial identity (63 distinct points for
-#: the degree-62 identity)
-EVAL_POINTS = list(range(1, N_COEFF + 1))
+#: curve moduli proven at the 256-bit width: P-256 and secp256k1 base and
+#: scalar fields, plus the curve25519 field and the ed25519 group order
+P25519 = (1 << 255) - 19
+ED25519_L = (1 << 252) + 27742317777372353535851937790883648493
+MODULI_256: list[int] = [P256.p, P256.n, SECP256K1.p, SECP256K1.n,
+                         P25519, ED25519_L]
+MODULI_384: list[int] = [P384.p, P384.n]
 
 
-class _Layout:
-    def __init__(self):
-        self._n = 0
-        self.slices: dict[str, slice] = {}
+class ModMulAir(Air):
+    """One width class of the ModMul family.
 
-    def add(self, name: str, count: int) -> None:
-        self.slices[name] = slice(self._n, self._n + count)
-        self._n += count
+    limbs: operand size in bytes (32 → 256-bit, 48 → 384-bit, 256 → 2048).
+    moduli: fixed one-hot modulus set, or None for a witnessed modulus.
+    """
 
-    @property
-    def width(self) -> int:
-        return self._n
-
-    def __getitem__(self, name: str) -> slice:
-        return self.slices[name]
-
-
-def _build_layout() -> _Layout:
-    L = _Layout()
-    L.add("a", LIMBS)
-    L.add("b", LIMBS)
-    L.add("r", LIMBS)
-    L.add("q", LIMBS)
-    L.add("c_lo", N_CARRY)     # carry bytes (offset encoding)
-    L.add("c_hi", N_CARRY)
-    L.add("f", len(MODULI_256))  # one-hot modulus flags
-    L.add("mult", 1)           # byte-table multiplicity
-    return L
-
-
-LAYOUT = _build_layout()
-
-# looked-up byte columns: a ‖ b ‖ r ‖ q ‖ c_lo ‖ c_hi — contiguous from 0
-N_LOOKUP_VALUES = 4 * LIMBS + 2 * N_CARRY          # 252
-N_PAIRS = N_LOOKUP_VALUES // 2                     # 126
-
-# per-point constant weights, precomputed mod P
-_POW_A = [[pow(x, i, P) for i in range(LIMBS)] for x in EVAL_POINTS]
-_POW_C = [[pow(x, k, P) for k in range(N_CARRY)] for x in EVAL_POINTS]
-_POW_C256 = [[256 * pow(x, k, P) % P for k in range(N_CARRY)]
-             for x in EVAL_POINTS]
-_M_AT = [[sum(ml[i] * pow(x, i, P) for i in range(LIMBS)) % P
-          for ml in _MOD_LIMBS] for x in EVAL_POINTS]
-_C_OFFSET_AT = [OFFSET * sum(pow(x, k, P) for k in range(N_CARRY)) % P
-                for x in EVAL_POINTS]
-
-
-class ModMul256Air(Air):
-    width = LAYOUT.width
-    num_public = LIMBS  # final event's r, little-endian bytes
     max_constraint_degree = 3
-    # pair inverses ‖ table inverse ‖ running sum
-    perm_width = 4 * (N_PAIRS + 2)
-    num_perm_challenges = 1  # γ (plain byte range lookup, no tuple δ)
+    num_perm_challenges = 1  # γ (plain byte range lookup)
+
+    def __init__(self, limbs: int, moduli: list[int] | None,
+                 name: str) -> None:
+        self.limbs = limbs
+        self.moduli = list(moduli) if moduli is not None else None
+        self.name = name
+        L = limbs
+        self.n_coeff = 2 * L - 1
+        self.n_carry = self.n_coeff - 1
+        # carry magnitude ≤ ~L·255; the offset encoding must cover it and
+        # 256·|c|max must stay ≪ P for the per-point integer argument
+        if L <= 64:
+            self.carry_top_bits = 0
+            self.offset = 1 << 15
+        else:
+            self.carry_top_bits = 2
+            self.offset = 1 << 17
+        self.eval_points = list(range(1, self.n_coeff + 1))
+
+        sl = {}
+        pos = 0
+
+        def add(nm, k):
+            nonlocal pos
+            sl[nm] = slice(pos, pos + k)
+            pos += k
+
+        add("a", L)
+        add("b", L)
+        add("r", L)
+        add("q", L)
+        add("d", L)                 # m − 1 − r (canonicity witness)
+        if self.moduli is None:
+            add("m", L)             # witnessed modulus limbs
+        add("c_lo", self.n_carry)
+        add("c_mid", self.n_carry)
+        # byte-checked columns end here; top bits are boolean-checked
+        self.n_lookup_values = pos
+        if self.carry_top_bits:
+            add("c_top", self.n_carry * self.carry_top_bits)
+        add("e", L - 1)             # canonicity borrow bits (boolean)
+        if self.moduli is not None:
+            add("f", len(self.moduli))
+        add("mult", 1)
+        self.slices = sl
+        self.width = pos
+        if self.n_lookup_values % 2:
+            raise AssertionError("lookup column count must be even")
+        self.n_pairs = self.n_lookup_values // 2
+        self.perm_width = 4 * (self.n_pairs + 2)
+        self.num_public = L
+
+        # per-point constant weights, precomputed mod P
+        pts = self.eval_points
+        self._pow_a = [[pow(x, i, P) for i in range(L)] for x in pts]
+        self._pow_c = [[pow(x, k, P) for k in range(self.n_carry)]
+                       for x in pts]
+        self._pow_c256 = [[256 * pow(x, k, P) % P
+                           for k in range(self.n_carry)] for x in pts]
+        self._c_offset_at = [
+            self.offset * sum(pow(x, k, P) for k in range(self.n_carry)) % P
+            for x in pts]
+        if self.moduli is not None:
+            mod_limbs = [[(m >> (8 * i)) & 0xFF for i in range(L)]
+                         for m in self.moduli]
+            self._m_at = [[sum(ml[i] * pow(x, i, P) for i in range(L)) % P
+                           for ml in mod_limbs] for x in pts]
 
     def periodic_columns(self) -> list:
         return [np.arange(256, dtype=np.uint32)]
 
+    # ------------------------------------------------------------------
+
     def eval(self, b: AirBuilder) -> None:
-        L = LAYOUT
+        sl = self.slices
+        L = self.limbs
         gamma = b.challenges[0]
-        nf = len(MODULI_256)
 
-        A = b.local_group(L["a"])
-        B = b.local_group(L["b"])
-        R = b.local_group(L["r"])
-        Q = b.local_group(L["q"])
-        F = b.local_group(L["f"])
-        CLO = b.local_group(L["c_lo"])
-        CHI = b.local_group(L["c_hi"])
+        A = b.local_group(sl["a"])
+        B = b.local_group(sl["b"])
+        R = b.local_group(sl["r"])
+        Q = b.local_group(sl["q"])
+        D = b.local_group(sl["d"])
+        CLO = b.local_group(sl["c_lo"])
+        CMID = b.local_group(sl["c_mid"])
+        if self.carry_top_bits:
+            CTOP = b.local_group(sl["c_top"])
+            b.assert_zero_vec(CTOP * (CTOP - 1),
+                              self.n_carry * self.carry_top_bits)
+        E = b.local_group(sl["e"])
+        b.assert_zero_vec(E * (E - 1), L - 1)
+        # borrow-polynomial weights for the canonicity identity
+        pow_e = [[pow(x, k, P) for k in range(L - 1)]
+                 for x in self.eval_points]
 
-        # --- modulus selection: one-hot flags ---
-        b.assert_zero_vec(F * (F - 1), nf)
-        b.assert_zero(b.dot_const(F, [1] * nf) - 1)
+        if self.moduli is not None:
+            F = b.local_group(sl["f"])
+            nf = len(self.moduli)
+            b.assert_zero_vec(F * (F - 1), nf)
+            b.assert_zero(b.dot_const(F, [1] * nf) - 1)
 
-        # --- the point-evaluated limb identity ---
-        for t, x in enumerate(EVAL_POINTS):
-            a_x = b.dot_const(A, _POW_A[t])
-            b_x = b.dot_const(B, _POW_A[t])
-            q_x = b.dot_const(Q, _POW_A[t])
-            r_x = b.dot_const(R, _POW_A[t])
-            m_x = b.dot_const(F, _M_AT[t])
-            c_x = (b.dot_const(CLO, _POW_C[t])
-                   + b.dot_const(CHI, _POW_C256[t])
-                   - _C_OFFSET_AT[t])
+        # --- the point-evaluated limb identity + canonicity r < m ---
+        for t, x in enumerate(self.eval_points):
+            a_x = b.dot_const(A, self._pow_a[t])
+            b_x = b.dot_const(B, self._pow_a[t])
+            q_x = b.dot_const(Q, self._pow_a[t])
+            r_x = b.dot_const(R, self._pow_a[t])
+            d_x = b.dot_const(D, self._pow_a[t])
+            if self.moduli is not None:
+                m_x = b.dot_const(F, self._m_at[t])
+            else:
+                m_x = b.dot_const(b.local_group(sl["m"]), self._pow_a[t])
+            c_x = (b.dot_const(CLO, self._pow_c[t])
+                   + b.dot_const(CMID,
+                                 [256 * w % P for w in self._pow_c[t]]))
+            if self.carry_top_bits:
+                tb = self.carry_top_bits
+                for j in range(tb):
+                    part = b.dot_const(
+                        b.local_group(slice(sl["c_top"].start + j,
+                                            sl["c_top"].stop, tb)),
+                        self._pow_c[t])
+                    c_x = c_x + ((65536 << j) % P) * part
+            c_x = c_x - self._c_offset_at[t]
             b.assert_zero(a_x * b_x - q_x * m_x - r_x
                           - ((256 - x) % P) * c_x)
+            # canonicity r < m: r(x) + d(x) + 1 − m(x) = (256−x)·e(x)
+            # with byte-checked d and boolean borrow bits e — an integer
+            # identity telescoping to r + d + 1 = m, so r ≤ m − 1.
+            e_x = b.dot_const(E, pow_e[t])
+            b.assert_zero(r_x + d_x + 1 - m_x - ((256 - x) % P) * e_x)
 
         # --- public binding: global last row's r ---
-        for j in range(LIMBS):
+        for j in range(L):
             b.when_last_row(R[j] - b.public[j])
 
         # --- LogUp byte range check: ONE wide expression over all pairs ---
-        V = b.local_group(slice(0, N_LOOKUP_VALUES))
+        V = b.local_group(slice(0, self.n_lookup_values))
         V1, V2 = V[0::2], V[1::2]
-        W = b.perm_ext_group(N_PAIRS)
+        W = b.perm_ext_group(self.n_pairs)
         G1 = gamma - ExtVal.from_base(V1)
         G2 = gamma - ExtVal.from_base(V2)
         pair_check = W * (G1 * G2) - 1
         for limb in pair_check.limbs():
-            b.assert_zero_vec(limb, N_PAIRS)
+            b.assert_zero_vec(limb, self.n_pairs)
 
         t_col = b.periodic[0]
-        mult = b.local[L["mult"].start]
-        mult_next = b.next[L["mult"].start]
-        inv_t = b.perm_ext(N_PAIRS)
-        inv_t_n = b.perm_ext(N_PAIRS, nxt=True)
-        s = b.perm_ext(N_PAIRS + 1)
-        s_next = b.perm_ext(N_PAIRS + 1, nxt=True)
+        mult = b.local[sl["mult"].start]
+        mult_next = b.next[sl["mult"].start]
+        inv_t = b.perm_ext(self.n_pairs)
+        inv_t_n = b.perm_ext(self.n_pairs, nxt=True)
+        s = b.perm_ext(self.n_pairs + 1)
+        s_next = b.perm_ext(self.n_pairs + 1, nxt=True)
         b.assert_ext_zero(inv_t * (gamma - ExtVal.from_base(t_col)) - 1)
 
         def row_term(V1v, V2v, Wv, mult_v, table_inv):
-            # Σ_pairs (2γ − v₁ − v₂)·w  −  mult · inv_t
             prod = (gamma * 2 - ExtVal.from_base(V1v + V2v)) * Wv
-            total = ExtVal(*[b.dot_const(limb, [1] * N_PAIRS)
+            total = ExtVal(*[b.dot_const(limb, [1] * self.n_pairs)
                              for limb in prod.limbs()])
             return total - mult_v * table_inv
 
         term_first = row_term(V1, V2, W, mult, inv_t)
         b.assert_ext_zero((s - term_first) * b.is_first_row)
-        Vn = b.next_group(slice(0, N_LOOKUP_VALUES))
-        Wn = b.perm_ext_group(N_PAIRS, nxt=True)
+        Vn = b.next_group(slice(0, self.n_lookup_values))
+        Wn = b.perm_ext_group(self.n_pairs, nxt=True)
         term_next = row_term(Vn[0::2], Vn[1::2], Wn, mult_next, inv_t_n)
         b.assert_ext_zero((s_next - s - term_next) * b.is_transition)
         b.assert_ext_zero(s * b.is_last_row)
+
+    # ------------------------------------------------------------------
 
     def generate_perm_trace(self, main, public_values, challenges):
         from ..lookup import np_ext_mul, np_logup_terms
 
         gamma = challenges[0]
         n = main.shape[0]
-        L = LAYOUT
-        P_ = P
+        nv = self.n_lookup_values
 
-        vals = main[:, :N_LOOKUP_VALUES].astype(np.uint64)
+        vals = main[:, :nv].astype(np.uint64)
         inv = np_logup_terms(gamma, vals.reshape(-1), None, None, None)
-        inv = inv.reshape(n, N_LOOKUP_VALUES, 4)      # 1/(γ−v)
-        # paired commitment: w = inv₁ · inv₂
+        inv = inv.reshape(n, nv, 4)
         w = np_ext_mul(
             inv[:, 0::2, :].reshape(-1, 4),
             inv[:, 1::2, :].reshape(-1, 4),
-        ).reshape(n, N_PAIRS, 4)
+        ).reshape(n, self.n_pairs, 4)
 
         t_in = np.arange(n, dtype=np.uint64) % 256
-        inv_t = np_logup_terms(gamma, t_in, None, None, None)  # (n, 4)
+        inv_t = np_logup_terms(gamma, t_in, None, None, None)
 
-        mult = main[:, L["mult"].start].astype(np.uint64)
-        term = inv.sum(axis=1) % P_                  # Σ 1/(γ−v) per row
-        m_it = (inv_t.astype(np.uint64) * mult[:, None]) % P_
-        term = (term + P_ - m_it) % P_
-        s = np.cumsum(term.astype(object), axis=0) % P_
+        mult = main[:, self.slices["mult"].start].astype(np.uint64)
+        term = inv.sum(axis=1) % P
+        m_it = (inv_t.astype(np.uint64) * mult[:, None]) % P
+        term = (term + P - m_it) % P
+        s = np.cumsum(term.astype(object), axis=0) % P
 
         out = np.zeros((n, self.perm_width), dtype=np.uint32)
-        out[:, : 4 * N_PAIRS] = w.reshape(n, -1)
-        out[:, 4 * N_PAIRS : 4 * N_PAIRS + 4] = inv_t
-        out[:, 4 * (N_PAIRS + 1):] = s.astype(np.uint64)
+        out[:, : 4 * self.n_pairs] = w.reshape(n, -1)
+        out[:, 4 * self.n_pairs : 4 * self.n_pairs + 4] = inv_t
+        out[:, 4 * (self.n_pairs + 1):] = s.astype(np.uint64)
         return out
 
+    # ------------------------------------------------------------------
+    # witness generation
 
-# ---------------------------------------------------------------------------
-# witness generation
-# ---------------------------------------------------------------------------
+    def trace(self, events, min_log_n: int = 8):
+        """Build the chip trace from ModMulEvents (a, b, r, m).  Front-
+        padded with 0·0 ≡ 0 (mod M₀) rows; the LAST event's r binds as
+        public values.  Returns (trace, public_values list[int])."""
+        events = list(events)
+        if not events:
+            raise ValueError("need at least one event")
+        L = self.limbs
+        sl = self.slices
+        if self.moduli is not None:
+            mod_index = {m: i for i, m in enumerate(self.moduli)}
+            pad_mod = self.moduli[0]
+        else:
+            pad_mod = (1 << (8 * L)) - 159  # any odd pad modulus
+        for ev in events:
+            if self.moduli is not None and ev.m not in mod_index:
+                raise ValueError(f"modulus not in chip set: {hex(ev.m)}")
+            if ev.m % 2 == 0 or ev.m.bit_length() > 8 * L:
+                raise ValueError("modulus must be odd and fit the width")
+            if not (0 <= ev.a < ev.m and 0 <= ev.b < ev.m
+                    and 0 <= ev.r < ev.m):
+                raise ValueError("operands out of range")
+
+        # the byte range-check table is materialized over rows i mod 256,
+        # so the trace must cover at least one full table period
+        n = 1 << max(min_log_n, 8, (len(events) - 1).bit_length())
+        pad = n - len(events)
+
+        def limbs(v):
+            return np.frombuffer(int(v).to_bytes(L, "little"),
+                                 dtype=np.uint8)
+
+        trace = np.zeros((n, self.width), dtype=np.uint32)
+        a_l = np.zeros((n, L), dtype=np.int64)
+        b_l = np.zeros((n, L), dtype=np.int64)
+        r_l = np.zeros((n, L), dtype=np.int64)
+        q_l = np.zeros((n, L), dtype=np.int64)
+        m_l = np.zeros((n, L), dtype=np.int64)
+        m_l[:pad] = limbs(pad_mod).astype(np.int64)
+        if self.moduli is not None:
+            trace[:pad, sl["f"].start] = 1
+
+        for idx, ev in enumerate(events):
+            row = pad + idx
+            q, r_chk = divmod(ev.a * ev.b, ev.m)
+            if r_chk != ev.r:
+                raise ValueError("inconsistent event: a·b mod m != r")
+            a_l[row] = limbs(ev.a).astype(np.int64)
+            b_l[row] = limbs(ev.b).astype(np.int64)
+            r_l[row] = limbs(ev.r).astype(np.int64)
+            q_l[row] = limbs(q).astype(np.int64)
+            m_l[row] = limbs(ev.m).astype(np.int64)
+            if self.moduli is not None:
+                trace[row, sl["f"].start + mod_index[ev.m]] = 1
+
+        trace[:, sl["a"]] = a_l
+        trace[:, sl["b"]] = b_l
+        trace[:, sl["r"]] = r_l
+        trace[:, sl["q"]] = q_l
+        # canonicity witness d = m − 1 − r with explicit borrow bits
+        d_l = m_l - r_l
+        d_l[:, 0] -= 1
+        e_l = np.zeros((n, L - 1), dtype=np.int64)
+        for k in range(L - 1):
+            neg = d_l[:, k] < 0
+            e_l[neg, k] = 1
+            d_l[neg, k] += 256
+            d_l[neg, k + 1] -= 1
+        if (d_l < 0).any() or (d_l > 255).any():
+            raise ValueError("canonicity witness out of range (r >= m?)")
+        trace[:, sl["d"]] = d_l
+        trace[:, sl["e"]] = e_l
+        if self.moduli is None:
+            trace[:, sl["m"]] = m_l
+
+        # carries via per-row convolutions
+        conv_ab = _batch_conv(a_l, b_l, L)
+        conv_qm = _batch_conv(q_l, m_l, L)
+        t = conv_ab - conv_qm
+        t[:, :L] -= r_l
+        carries = np.zeros((n, self.n_carry), dtype=np.int64)
+        c_prev = np.zeros(n, dtype=np.int64)
+        for k in range(self.n_coeff):
+            d = t[:, k] + c_prev
+            assert (d % 256 == 0).all(), "carry chain broke (bad witness)"
+            c_prev = d // 256
+            if k < self.n_carry:
+                carries[:, k] = c_prev
+        assert (c_prev == 0).all(), "final carry nonzero (bad witness)"
+        assert (np.abs(carries) < self.offset).all(), \
+            "carry out of encoding range"
+        enc = carries + self.offset
+        trace[:, sl["c_lo"]] = (enc & 0xFF).astype(np.uint32)
+        trace[:, sl["c_mid"]] = ((enc >> 8) & 0xFF).astype(np.uint32)
+        if self.carry_top_bits:
+            tb = self.carry_top_bits
+            for j in range(tb):
+                trace[:, sl["c_top"].start + j : sl["c_top"].stop : tb] = \
+                    ((enc >> (16 + j)) & 1).astype(np.uint32)
+
+        lookup_vals = trace[:, : self.n_lookup_values].reshape(-1)
+        counts = np.bincount(lookup_vals, minlength=256)
+        trace[:256, sl["mult"].start] = counts[:256].astype(np.uint32)
+
+        public = [int(v) for v in r_l[n - 1]]
+        return trace, public
 
 
-def _limbs(v: int) -> np.ndarray:
-    return np.frombuffer(int(v).to_bytes(LIMBS, "little"), dtype=np.uint8)
+def _batch_conv(x: np.ndarray, y: np.ndarray, L: int) -> np.ndarray:
+    """Row-wise full convolution of (n, L) int64 arrays → (n, 2L−1)."""
+    n = x.shape[0]
+    out = np.zeros((n, 2 * L - 1), dtype=np.int64)
+    for i in range(L):
+        out[:, i : i + L] += x[:, i : i + 1] * y
+    return out
+
+
+# --- width-class singletons -------------------------------------------------
+
+_AIR_256 = None
+_AIR_384 = None
+_AIR_RSA: dict[int, ModMulAir] = {}
+
+
+def modmul_air_256() -> ModMulAir:
+    global _AIR_256
+    if _AIR_256 is None:
+        _AIR_256 = ModMulAir(32, MODULI_256, "ModMul256Air")
+    return _AIR_256
+
+
+def modmul_air_384() -> ModMulAir:
+    global _AIR_384
+    if _AIR_384 is None:
+        _AIR_384 = ModMulAir(48, MODULI_384, "ModMul384Air")
+    return _AIR_384
+
+
+def modmul_air_rsa(bits: int = 2048) -> ModMulAir:
+    """Witnessed-modulus width class for RSA (2048/4096)."""
+    if bits not in (1024, 2048, 4096):
+        raise ValueError("unsupported RSA width")
+    if bits not in _AIR_RSA:
+        _AIR_RSA[bits] = ModMulAir(bits // 8, None, f"ModMulRsa{bits}Air")
+    return _AIR_RSA[bits]
+
+
+# backward-compatible aliases (round-1 API)
+def ModMul256Air() -> ModMulAir:  # noqa: N802 — kept as a constructor shim
+    return modmul_air_256()
 
 
 def modmul_trace(events, min_log_n: int = 8):
-    """Build the chip trace from ModMulEvents (a, b, r, m).  Front-padded
-    with 0·0 ≡ 0 (mod M₀) rows; the LAST event's r binds as public values.
-    Returns (trace (n, width) uint32, public_values list[int] 32 bytes)."""
-    events = list(events)
-    if not events:
-        raise ValueError("need at least one event")
-    mod_index = {m: i for i, m in enumerate(MODULI_256)}
-    for ev in events:
-        if ev.m not in mod_index:
-            raise ValueError(f"modulus not in chip set: {hex(ev.m)}")
-        if not (0 <= ev.a < ev.m and 0 <= ev.b < ev.m and 0 <= ev.r < 1 << 256):
-            raise ValueError("operands out of range")
-
-    n = 1 << max(min_log_n, (len(events) - 1).bit_length())
-    pad = n - len(events)
-
-    L = LAYOUT
-    trace = np.zeros((n, L.width), dtype=np.uint32)
-    trace[:pad, L["f"].start] = 1  # padding rows select M₀
-
-    a_l = np.zeros((n, LIMBS), dtype=np.int64)
-    b_l = np.zeros((n, LIMBS), dtype=np.int64)
-    r_l = np.zeros((n, LIMBS), dtype=np.int64)
-    q_l = np.zeros((n, LIMBS), dtype=np.int64)
-    m_l = np.zeros((n, LIMBS), dtype=np.int64)
-    m_l[:pad] = _limbs(MODULI_256[0]).astype(np.int64)
-
-    for idx, ev in enumerate(events):
-        row = pad + idx
-        q, r_chk = divmod(ev.a * ev.b, ev.m)
-        if r_chk != ev.r:
-            raise ValueError("inconsistent event: a·b mod m != r")
-        a_l[row] = _limbs(ev.a).astype(np.int64)
-        b_l[row] = _limbs(ev.b).astype(np.int64)
-        r_l[row] = _limbs(ev.r).astype(np.int64)
-        q_l[row] = _limbs(q).astype(np.int64)
-        m_l[row] = _limbs(ev.m).astype(np.int64)
-        trace[row, L["f"].start + mod_index[ev.m]] = 1
-
-    trace[:, L["a"]] = a_l
-    trace[:, L["b"]] = b_l
-    trace[:, L["r"]] = r_l
-    trace[:, L["q"]] = q_l
-
-    # vectorized carry computation: t (n, 63) via per-row convolutions
-    conv_ab = _batch_conv(a_l, b_l)
-    conv_qm = _batch_conv(q_l, m_l)
-    t = conv_ab - conv_qm
-    t[:, :LIMBS] -= r_l
-    carries = np.zeros((n, N_CARRY), dtype=np.int64)
-    c_prev = np.zeros(n, dtype=np.int64)
-    for k in range(N_COEFF):
-        d = t[:, k] + c_prev
-        assert (d % 256 == 0).all(), "carry chain broke (bad witness)"
-        c_prev = d // 256
-        if k < N_CARRY:
-            carries[:, k] = c_prev
-    assert (c_prev == 0).all(), "final carry nonzero (bad witness)"
-    assert (np.abs(carries) < OFFSET).all(), "carry out of encoding range"
-    enc = carries + OFFSET
-    trace[:, L["c_lo"]] = (enc & 0xFF).astype(np.uint32)
-    trace[:, L["c_hi"]] = (enc >> 8).astype(np.uint32)
-
-    # byte-table multiplicities over every looked-up column
-    lookup_vals = trace[:, :N_LOOKUP_VALUES].reshape(-1)
-    counts = np.bincount(lookup_vals, minlength=256)
-    trace[:256, L["mult"].start] = counts[:256].astype(np.uint32)
-
-    public = [int(v) for v in r_l[n - 1]]
-    return trace, public
-
-
-def _batch_conv(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Row-wise full convolution of (n, LIMBS) int64 arrays → (n, 2L−1)."""
-    n = x.shape[0]
-    out = np.zeros((n, N_COEFF), dtype=np.int64)
-    for i in range(LIMBS):
-        out[:, i : i + LIMBS] += x[:, i : i + 1] * y
-    return out
+    return modmul_air_256().trace(events, min_log_n=min_log_n)

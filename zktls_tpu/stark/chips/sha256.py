@@ -25,15 +25,26 @@ Column groups (564 total):
 Periodic columns (no commitment; verifier evaluates them itself):
   k_lo, k_hi (round constants), is_last_round (t=63), is_round0 (t=0).
 
-Public values: the 16 limbs of the final row's Davies-Meyer output — the
-digest of the last proven compression.
+Chaining & publication (round-2, the machine bus — SURVEY.md §2.2.B
+"multi-table STARK glued by LogUp-style lookups"):
 
-Scope note (round-1): each 64-row group is proven to be a correct SHA-256
-compression of *some* witnessed (state_in, block), and the last group's
-output is bound to the public values.  Cross-compression chaining and
-binding block contents to the TLS byte stream arrive with the lookup
-(LogUp) argument — the same glue the reference uses between its chips
-(SURVEY.md §2.2.B "multi-table STARK glued by LogUp-style lookups").
+  obj,seq,fresh,nc,tag   per-group metadata columns (constant in the group)
+  dig                    16 limb columns: the group's Davies-Meyer output
+                         (row-local would-be value off the last row)
+
+Every compression group participates in the global bus (stark/bus.py):
+a non-fresh group RECEIVES (BUS_SHA_STATE, obj, seq, state_in); every
+group SENDS (BUS_SHA_STATE, obj, seq+1, dig) with multiplicity nc (its
+number of consumer compressions — hash objects form a tree under copy());
+fresh groups instead pin state_in = IV.  Since seq is range-checked and
+strictly increases along a chain, every digest is grounded in a chain from
+the IV — a fabricated mid-state cannot close the multiset.  A group with
+has_tag = 1 additionally SENDS (BUS_SHA_RESULT, tag, dig), which the
+machine verifier consumes with journal-derived digests (e.g. the journal
+hash itself): by SHA-256 collision resistance the chain's blocks then ARE
+the journal bytes.
+
+Public values: none (the chip's bus sum is appended by the machine).
 """
 
 from __future__ import annotations
@@ -41,11 +52,16 @@ from __future__ import annotations
 import numpy as np
 
 from ...guest.crypto.sha256 import _IV, _K  # spec constants
+from ...ops.field_ref import P
 from ..air import Air, AirBuilder
+from ..bus import BUS_SHA_RESULT, BUS_SHA_STATE, np_bus_inverse_terms
+from ..ext_val import ExtVal
 
 __all__ = ["Sha256Air", "sha256_trace", "ROWS_PER_BLOCK"]
 
 ROWS_PER_BLOCK = 64
+SEQ_BITS = 16
+NC_BITS = 5
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +103,15 @@ def _build_layout() -> _Layout:
     L.add("ca", 6)            # a' carries
     L.add("h_state", 16)      # H0..H7 × (lo, hi)
     L.add("hc", 48)           # 8 words × (lo 3 bits, hi 3 bits)
+    # --- chaining / bus metadata (constant within each 64-row group) ---
+    L.add("obj", 1)           # hash-object id (free field element)
+    L.add("seq", SEQ_BITS)    # chain depth, bit-decomposed (range check)
+    L.add("fresh", 1)         # 1 ⇒ state_in = IV (chain root)
+    L.add("nc", NC_BITS)      # consumer count of this group's output, bits
+    L.add("has_tag", 1)       # 1 ⇒ publish digest with result tag
+    L.add("tag", 1)           # result tag (0 unless has_tag)
+    L.add("dig", 16)          # Davies-Meyer output limbs (canonical on the
+    #                           group's last row; bus messages read these)
     return L
 
 
@@ -104,8 +129,12 @@ def _xor2(x, y):
 
 class Sha256Air(Air):
     width = LAYOUT.width
-    num_public = 16
+    num_public = 0
     max_constraint_degree = 3
+    #: inv_recv ‖ inv_send ‖ inv_res ‖ u ‖ acc (extension elements)
+    perm_width = 20
+    num_perm_challenges = 2   # machine supplies the full challenge vector
+    has_bus = True
 
     def periodic_columns(self) -> list:
         k = np.array(_K, dtype=np.uint64)
@@ -162,8 +191,11 @@ class Sha256Air(Air):
         for grp, k in ((A, 32), (B_, 32), (C, 32), (E, 32), (F, 32),
                        (G_, 32), (W1, 32), (W14, 32),
                        (g("sc"), 4), (g("ce"), 6), (g("ca"), 6),
-                       (g("hc"), 48)):
+                       (g("hc"), 48), (g("seq"), SEQ_BITS),
+                       (g("nc"), NC_BITS)):
             b.assert_zero_vec(grp * (grp - 1), k)
+        for c in (col("fresh"), col("has_tag")):
+            b.assert_bool(c)
 
         # --- boolean-function definitions (degree ≤ 3, every row) ---
         # roll(-r)[k] = bits[(k+r) % 32] = rotr by r;  shr via zero mask
@@ -256,7 +288,8 @@ class Sha256Air(Air):
         # --- block input state persists within the block ---
         b.assert_zero_vec(not_last * (ng("h_state") - g("h_state")), 16)
 
-        # --- final row: Davies-Meyer output equals the public digest ---
+        # --- dig columns hold the row-local Davies-Meyer output (canonical
+        # on each group's last row, where the bus messages read them) ---
         after = [
             (t1_lo + s0v_lo + majv_lo, t1_hi + s0v_hi + majv_hi),  # a*
             (pack(A, True), pack(A, False)),                        # b* = a
@@ -270,12 +303,98 @@ class Sha256Air(Air):
         for i in range(8):
             hc_lo = carry_val("hc", 6 * i, 3)
             hc_hi = carry_val("hc", 6 * i + 3, 3)
-            b.when_last_row(
+            b.assert_zero(
                 col("h_state", 2 * i) + after[i][0]
-                - b.public[2 * i] - hc_lo * (1 << 16))
-            b.when_last_row(
+                - col("dig", 2 * i) - hc_lo * (1 << 16))
+            b.assert_zero(
                 col("h_state", 2 * i + 1) + after[i][1] + hc_lo
-                - b.public[2 * i + 1] - hc_hi * (1 << 16))
+                - col("dig", 2 * i + 1) - hc_hi * (1 << 16))
+
+        # --- group-constant chaining metadata ---
+        for nm in ("obj", "fresh", "has_tag", "tag"):
+            b.assert_zero(not_last * (ncol(nm) - col(nm)))
+        b.assert_zero_vec(not_last * (ng("seq") - g("seq")), SEQ_BITS)
+        b.assert_zero_vec(not_last * (ng("nc") - g("nc")), NC_BITS)
+        b.assert_zero(col("tag") * (1 - col("has_tag")))
+        # a chain root starts at the IV; everything else must receive its
+        # input state over the bus
+        fresh = col("fresh")
+        for i in range(8):
+            lo, hi = _IV[i] & 0xFFFF, _IV[i] >> 16
+            b.assert_zero(is_r0 * fresh * (col("h_state", 2 * i) - lo))
+            b.assert_zero(is_r0 * fresh * (col("h_state", 2 * i + 1) - hi))
+
+        # --- global bus: chain receive/sends + tagged result publication ---
+        gamma = b.challenges[0]
+
+        def dpow(i):
+            return b.challenges[1 + i]
+
+        obj_c = col("obj")
+        seq_val = b.dot_const(g("seq"), [1 << i for i in range(SEQ_BITS)])
+        nc_val = b.dot_const(g("nc"), [1 << i for i in range(NC_BITS)])
+        fp_recv = (ExtVal.from_base(BUS_SHA_STATE) + dpow(0) * obj_c
+                   + dpow(1) * seq_val)
+        fp_send = (ExtVal.from_base(BUS_SHA_STATE) + dpow(0) * obj_c
+                   + dpow(1) * (seq_val + 1))
+        fp_res = ExtVal.from_base(BUS_SHA_RESULT) + dpow(0) * col("tag")
+        for i in range(16):
+            fp_recv = fp_recv + dpow(2 + i) * col("h_state", i)
+            fp_send = fp_send + dpow(2 + i) * col("dig", i)
+            fp_res = fp_res + dpow(1 + i) * col("dig", i)
+        inv_recv = b.perm_ext(0)
+        inv_send = b.perm_ext(1)
+        inv_res = b.perm_ext(2)
+        u = b.perm_ext(3)
+        acc = b.perm_ext(4)
+        u_n = b.perm_ext(3, nxt=True)
+        acc_n = b.perm_ext(4, nxt=True)
+        b.assert_ext_zero(inv_recv * (gamma - fp_recv) - 1)
+        b.assert_ext_zero(inv_send * (gamma - fp_send) - 1)
+        b.assert_ext_zero(inv_res * (gamma - fp_res) - 1)
+        u_def = (inv_send * nc_val + inv_res * col("has_tag")) * is_last \
+            - inv_recv * ((1 - fresh) * is_r0)
+        b.assert_ext_zero(u - u_def)
+        b.assert_ext_zero((acc - u) * b.is_first_row)
+        b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
+        for ell in range(4):
+            b.when_last_row(acc.c[ell] - b.public[ell])
+
+    # ------------------------------------------------------------------
+
+    def generate_perm_trace(self, main, publics, challenges):
+        L = LAYOUT
+        n = main.shape[0]
+        obj = main[:, L["obj"].start].astype(np.uint64)
+        seq = np.zeros(n, np.uint64)
+        for k in range(SEQ_BITS):
+            seq += main[:, L["seq"].start + k].astype(np.uint64) << k
+        nc = np.zeros(n, np.uint64)
+        for k in range(NC_BITS):
+            nc += main[:, L["nc"].start + k].astype(np.uint64) << k
+        fresh = main[:, L["fresh"].start].astype(np.uint64)
+        has_tag = main[:, L["has_tag"].start].astype(np.uint64)
+        tag = main[:, L["tag"].start].astype(np.uint64)
+        hs = main[:, L["h_state"]].astype(np.uint64)
+        dg = main[:, L["dig"]].astype(np.uint64)
+        recv_pl = np.concatenate([obj[:, None], seq[:, None], hs], axis=1)
+        send_pl = np.concatenate([obj[:, None], ((seq + 1) % P)[:, None],
+                                  dg], axis=1)
+        res_pl = np.concatenate([tag[:, None], dg], axis=1)
+        inv_recv = np_bus_inverse_terms(challenges, BUS_SHA_STATE, recv_pl)
+        inv_send = np_bus_inverse_terms(challenges, BUS_SHA_STATE, send_pl)
+        inv_res = np_bus_inverse_terms(challenges, BUS_SHA_RESULT, res_pl)
+        t = np.arange(n) % ROWS_PER_BLOCK
+        is_r0 = (t == 0).astype(np.uint64)[:, None]
+        is_last = (t == ROWS_PER_BLOCK - 1).astype(np.uint64)[:, None]
+        pos = is_last * ((nc[:, None] * inv_send
+                          + has_tag[:, None] * inv_res) % P) % P
+        neg = (is_r0 * ((1 - fresh)[:, None]) * inv_recv) % P
+        u = (pos + P - neg) % P
+        acc = np.cumsum(u, axis=0) % P
+        return np.concatenate(
+            [inv_recv, inv_send, inv_res, u, acc], axis=1
+        ).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -287,24 +406,51 @@ def _rotr(x, n):
     return ((x >> n) | (x << (32 - n))) & 0xFFFFFFFF
 
 
-def sha256_trace(compressions: list[tuple[bytes, tuple[int, ...]]],
-                 min_log_n: int = 6):
-    """Build the chip trace.
+def _children_counts(events) -> list[int]:
+    """Post-pass: how many later compressions consume each event's output
+    ((obj, seq+1, state_out) received by children with matching state_in).
+    Identical producers split the consumer count arbitrarily."""
+    consumers: dict[tuple, int] = {}
+    for e in events:
+        if e.seq > 0:
+            key = (e.obj, e.seq, e.state_in)
+            consumers[key] = consumers.get(key, 0) + 1
+    out = []
+    for e in events:
+        key = (e.obj, e.seq + 1, e.state_out)
+        take = min(consumers.get(key, 0), (1 << NC_BITS) - 1)
+        consumers[key] = consumers.get(key, 0) - take
+        out.append(take)
+    if any(v > 0 for v in consumers.values()):
+        raise ValueError(
+            "SHA event stream inconsistent: a compression's input state "
+            "has no producer (or one producer exceeds the child limit)")
+    return out
 
-    compressions: list of (64-byte block, state_in 8×u32), in order; the
-    LAST one's output digest becomes the public values.  The trace is
-    padded at the FRONT with zero-block compressions to a power-of-two
-    height.  Returns (trace (n, width) uint32, public_values list[int]).
-    """
-    if not compressions:
+
+def sha256_trace(events, min_log_n: int = 6):
+    """Build the chip trace from CompressionEvents (with obj/seq/result_tag
+    chaining metadata).  The trace is padded at the FRONT with fresh
+    IV-rooted zero-block compressions (nc = 0) to a power-of-two height.
+    Returns (trace (n, width) uint32, public_values [] — the machine
+    appends the bus sum)."""
+    from ...guest.crypto.sha256 import CompressionEvent
+
+    if not events:
         raise ValueError("need at least one compression")
-    n_real = len(compressions)
+    events = list(events)
+    nc_real = _children_counts(events)
+    n_real = len(events)
     n_rows = n_real * ROWS_PER_BLOCK
     log_n = max(min_log_n, (n_rows - 1).bit_length())
     n = 1 << log_n
     n_blocks = n // ROWS_PER_BLOCK
     pad = n_blocks - n_real
-    blocks = [(b"\x00" * 64, (0,) * 8)] * pad + list(compressions)
+    pad_ev = CompressionEvent(block=b"\x00" * 64, state_in=_IV,
+                              state_out=_IV, obj=0, seq=0)
+    all_events = [pad_ev] * pad + events
+    nc_all = [0] * pad + nc_real
+    blocks = [(e.block, e.state_in) for e in all_events]
 
     B = n_blocks
     # message schedule w[0..80) per block
@@ -435,17 +581,41 @@ def sha256_trace(compressions: list[tuple[bytes, tuple[int, ...]]],
     for i, src in ((1, a_), (2, b2_), (3, c_), (5, e_), (6, f_), (7, g_)):
         after_lo[:, i] = src & 0xFFFF
         after_hi[:, i] = src >> 16
+    # carries + dig columns, kept mutually consistent on every row (the
+    # dig value is canonical — the true digest limb — on last rows, where
+    # the carry arithmetic is exact)
     dig = digest[b_idx]  # (n, 8): digest of the row's own block
     for i in range(8):
-        hlo = state_in[b_idx, i] & 0xFFFF
-        hhi = state_in[b_idx, i] >> 16
-        hc_lo = (hlo + after_lo[:, i] - (dig[:, i] & 0xFFFF)) >> 16
-        hc_hi = (hhi + after_hi[:, i] + hc_lo - (dig[:, i] >> 16)) >> 16
+        hlo = (state_in[b_idx, i] & 0xFFFF).astype(np.int64)
+        hhi = (state_in[b_idx, i] >> 16).astype(np.int64)
+        alo = after_lo[:, i].astype(np.int64)
+        ahi = after_hi[:, i].astype(np.int64)
+        dlo = (dig[:, i] & 0xFFFF).astype(np.int64)
+        dhi = (dig[:, i] >> 16).astype(np.int64)
+        hc_lo = ((hlo + alo - dlo) >> 16) & 7
+        hc_hi = ((hhi + ahi + hc_lo - dhi) >> 16) & 7
         setcarry("hc", 6 * i, 3, hc_lo)
         setcarry("hc", 6 * i + 3, 3, hc_hi)
+        trace[:, L["dig"].start + 2 * i] = \
+            ((hlo + alo - (hc_lo << 16)) % P).astype(np.uint32)
+        trace[:, L["dig"].start + 2 * i + 1] = \
+            ((hhi + ahi + hc_lo - (hc_hi << 16)) % P).astype(np.uint32)
 
-    public = []
-    for i in range(8):
-        public.append(int(digest[-1, i] & 0xFFFF))
-        public.append(int(digest[-1, i] >> 16))
-    return trace, public
+    # chaining / bus metadata (group-constant)
+    obj_b = np.array([e.obj for e in all_events], dtype=np.int64)
+    seq_b = np.array([e.seq for e in all_events], dtype=np.int64)
+    if (seq_b >= 1 << SEQ_BITS).any():
+        raise ValueError("compression chain too deep for SEQ_BITS")
+    nc_b = np.array(nc_all, dtype=np.int64)
+    tag_b = np.array([e.result_tag for e in all_events], dtype=np.int64)
+    trace[:, L["obj"].start] = (obj_b % P)[b_idx].astype(np.uint32)
+    for k in range(SEQ_BITS):
+        trace[:, L["seq"].start + k] = \
+            ((seq_b[b_idx] >> k) & 1).astype(np.uint32)
+    trace[:, L["fresh"].start] = (seq_b == 0)[b_idx].astype(np.uint32)
+    for k in range(NC_BITS):
+        trace[:, L["nc"].start + k] = \
+            ((nc_b[b_idx] >> k) & 1).astype(np.uint32)
+    trace[:, L["has_tag"].start] = (tag_b != 0)[b_idx].astype(np.uint32)
+    trace[:, L["tag"].start] = (tag_b % P)[b_idx].astype(np.uint32)
+    return trace, []

@@ -611,17 +611,21 @@ def _check(cond: bool, what: str) -> None:
 
 
 def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
-                   public_receives: list[tuple[int, list[int]]] | None = None,
+                   public_messages: list[tuple] | None = None,
                    config: StarkConfig = DEFAULT_CONFIG) -> bool:
     """Verify a machine proof.
 
-    public_receives: the verifier-side bus messages (tag, payload) — e.g.
-    the journal digest the SHA chip must have published.  The global bus
-    balance  Σ chip bus sums − Σ 1/(γ−fp(msg))  must be zero; any missing,
-    extra or altered message breaks it.
+    public_messages: the verifier-side bus messages, each (tag, payload)
+    or (tag, payload, mult).  mult = −1 (default) means the verifier
+    RECEIVES the message (a chip must have sent it — e.g. the journal
+    digest the SHA chip published); mult = +1 means the verifier SENDS it
+    (a chip must consume it — e.g. the journal's GCM record headers the
+    control chip accounts against).  The global bus balance
+    Σ chip bus sums + Σ mult/(γ−fp(msg)) must be zero; any missing, extra
+    or altered message breaks it.
     Raises VerificationError on failure; returns True on success.
     """
-    public_receives = public_receives or []
+    public_messages = public_messages or []
     air_by_name = {a.name: a for a in airs}
     _check(len(air_by_name) == len(airs), "duplicate airs")
     _check(len(proof.chips) == len(airs), "chip count mismatch")
@@ -704,8 +708,10 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
     total = Fp4(0)
     for cp in proof.chips:
         total = total + Fp4(*cp.bus_sum)
-    for tag, payload in public_receives:
-        total = total - bus_term(challenges, tag, payload)
+    for entry in public_messages:
+        tag, payload = entry[0], entry[1]
+        mult = entry[2] if len(entry) > 2 else -1
+        total = total + mult * bus_term(challenges, tag, payload)
     _check(total == Fp4(0), "global bus imbalance")
 
     # --- per-chip DEEP-ALI constraint identity at ζ -------------------------

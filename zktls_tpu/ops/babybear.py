@@ -157,6 +157,51 @@ def dot_mod(a, b, axis=-1):
     return sum_mod(mul(a, b), axis=axis)
 
 
+def matmul_mod(v, w_np):
+    """Exact Baby-Bear matrix product on the MXU: (N, k) field values ×
+    (k, m) plain integer constants → (N, m) mod p, same representation as
+    the input (the map is linear, so Montgomery-form inputs yield
+    Montgomery-form outputs).
+
+    The 31-bit modular matmul has no native integer path wider than int8
+    on the MXU, so both operands are decomposed into base-128 digits
+    (5 × 7-bit, int8-safe) and the 25 digit products are accumulated into
+    9 diagonal partials T_s = Σ_{i+j=s} D_i·E_j in int32 (exact while
+    5·k·127² < 2³¹, i.e. k < 26 000), then recombined as
+    Σ_s T_s·128^s mod p with one Montgomery multiply per diagonal —
+    SURVEY.md §7 hard-part #3 ("31-bit modular mul on TPU") applied to
+    the AIR chips' constant-weight dot banks."""
+    import jax
+    import numpy as _np
+
+    k = v.shape[-1]
+    if 5 * k * 127 * 127 >= (1 << 31):
+        raise ValueError("matmul_mod: k too large for exact int32 matmul")
+    w_np = _np.asarray(w_np, dtype=_np.int64) % _P_INT
+    digs_w = [jnp.asarray(((w_np >> (7 * j)) & 127).astype(_np.int8))
+              for j in range(5)]
+    vi = v.astype(jnp.int32)
+    digs_v = [((vi >> (7 * i)) & 127).astype(jnp.int8) for i in range(5)]
+    t = [None] * 9
+    for i in range(5):
+        for j in range(5):
+            prod = jax.lax.dot_general(
+                digs_v[i], digs_w[j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = i + j
+            t[s] = prod if t[s] is None else t[s] + prod
+    # Σ_s T_s·128^s mod p: C_s = 128^s·R mod p so mul() (x·y·R⁻¹) yields
+    # T_s·128^s exactly (T_s < p, so it is a valid field element)
+    out = None
+    for s in range(9):
+        c_s = jnp.uint32((pow(128, s, _P_INT) * MONT_R) % _P_INT)
+        term = mul(t[s].astype(jnp.uint32),
+                   jnp.broadcast_to(c_s, t[s].shape))
+        out = term if out is None else add(out, term)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host-side helpers
 # ---------------------------------------------------------------------------

@@ -137,9 +137,18 @@ class MerkleTree:
         while device_levels[-1].shape[0] > 1:
             device_levels.append(compress_level(device_levels[-1]))
         self.levels = device_levels  # Montgomery, device (for reuse)
-        self.levels_np = [
-            bb.np_from_mont(np.asarray(level)) for level in device_levels
-        ]
+        self._levels_np = None
+
+    @property
+    def levels_np(self):
+        """Host copies, pulled lazily on first access — construction is
+        pure async dispatch, so independent trees (one per chip, possibly
+        on different devices) build concurrently."""
+        if self._levels_np is None:
+            self._levels_np = [
+                bb.np_from_mont(np.asarray(level)) for level in self.levels
+            ]
+        return self._levels_np
 
     @property
     def root(self) -> np.ndarray:

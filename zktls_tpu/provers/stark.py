@@ -144,6 +144,64 @@ def journal_public_messages(journal: bytes) -> list[tuple]:
     return msgs
 
 
+def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
+    """Merge several sessions' witnesses into one chip workload (the
+    BASELINE.json multi-transcript batch configs): SHA hash-object ids get
+    per-session offsets so chains stay disjoint; GCM events concatenate in
+    session order (their event ids are the global enumeration, which the
+    batch verifier mirrors when deriving record-header messages from the
+    journals); ModMul events concatenate."""
+    import copy as _copy
+
+    from ..guest.crypto.sha256 import SHA256Recorder
+
+    if len(outs) == 1:
+        return outs[0]
+    merged = _copy.copy(outs[0])
+    merged.replay = _copy.copy(outs[0].replay)
+    rec = SHA256Recorder()
+    sha_events = []
+    gcm_events = []
+    modmul_events = []
+    for i, out in enumerate(outs):
+        off = (i + 1) << 20
+        for e in out.replay.sha256_recorder.events:
+            e2 = _copy.copy(e)
+            e2.obj = e.obj + off
+            sha_events.append(e2)
+        gcm_events.extend(out.replay.gcm_events)
+        modmul_events.extend(out.modmul_events)
+    rec.events = sha_events
+    merged.replay.sha256_recorder = rec
+    merged.replay.gcm_events = gcm_events
+    merged.modmul_events = modmul_events
+    return merged
+
+
+def batch_public_messages(journals: list[bytes]) -> list[tuple]:
+    """Verifier-side bus messages for a session batch: per-journal SHA
+    results, and GCM record headers with event ids renumbered by the
+    global session-order enumeration."""
+    from ..guest.journal import decode_journal
+    from ..stark.bus import BUS_GCM_RECORD, u16_limbs
+    from ..stark.chips.gcm_control import parse_gcm_records
+
+    msgs: list[tuple] = []
+    eid_off = 0
+    for journal in journals:
+        for tag, payload, mult in journal_public_messages(journal):
+            if tag == BUS_GCM_RECORD:
+                continue
+            msgs.append((tag, payload, mult))
+        j = decode_journal(journal)
+        for rec in parse_gcm_records(j["gcm_records"]):
+            msgs.append((BUS_GCM_RECORD,
+                         [eid_off + rec["eid"]] + u16_limbs(rec["nonce"])
+                         + u16_limbs(rec["tag"]) + [rec["n_blocks"]], 1))
+        eid_off += len(j["gcm_records"]) // 32
+    return msgs
+
+
 class StarkGuestProver:
     """ZkProver proving the guest witness as one machine STARK proof."""
 
@@ -164,4 +222,29 @@ class StarkGuestProver:
         return verify_machine(
             journal_airs(journal, mp), mp, binding=journal,
             public_messages=journal_public_messages(journal),
+            config=self.config)
+
+    # -- multi-transcript batching (BASELINE.json configs 4-5) -----------
+
+    def prove_batch(self, guest_inputs: list[GuestInput],
+                    timings: dict | None = None
+                    ) -> tuple[list[bytes], bytes]:
+        """Prove several sessions as ONE machine proof (segment batching:
+        the round-1 per-session axis becomes stacked trace rows).  Returns
+        (journals, proof); the proof binds the concatenation of all
+        journals."""
+        outs = [run_guest(gi) for gi in guest_inputs]
+        merged = merge_guest_outputs(outs)
+        chips = build_chip_instances(merged)
+        binding = b"".join(out.journal for out in outs)
+        proof = prove_machine(chips, binding=binding, config=self.config,
+                              timings=timings)
+        return [out.journal for out in outs], proof.to_bytes()
+
+    def verify_batch(self, journals: list[bytes], proof: bytes) -> bool:
+        mp = MachineProof.from_bytes(proof)
+        return verify_machine(
+            journal_airs(journals[0], mp), mp,
+            binding=b"".join(journals),
+            public_messages=batch_public_messages(journals),
             config=self.config)

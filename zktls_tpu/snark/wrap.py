@@ -1,0 +1,127 @@
+"""The Groth16 wrap, round-2 scope: a constant-size BN254 proof binding the
+journal bytes to an on-chain-checkable commitment.
+
+The reference wraps its full STARK verification into the SNARK
+(sp1 recursion → gnark; risc0 identity_p254 → circom).  Arithmetizing this
+framework's machine-STARK verifier is the round-3 step; what ships now is
+the wrap *pipeline* — circuit → Groth16 → EVM verifier — over the journal
+commitment circuit:
+
+    public:  d = MiMC-MP(journal field chunks)   (the on-chain commitment)
+    private: the journal chunks
+
+so a relying contract learns "the submitter knows the journal behind d"
+with one 256-byte proof, and the off-chain machine STARK (journal-bound by
+its transcript) carries the session soundness.  MiMC-MP: 110-round x⁵
+MiMC permutation in Miyaguchi–Preneel mode over the BN254 scalar field
+(round constants derived from a fixed SHA-256 stream).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .bn254 import R
+from .groth16 import Groth16Keys, Groth16Proof, prove, setup, verify
+from .r1cs import R1CS
+
+__all__ = ["mimc_hash", "journal_digest_fr", "build_wrap_circuit",
+           "wrap_setup", "wrap_prove", "wrap_verify", "CHUNK_BYTES"]
+
+N_ROUNDS = 110
+CHUNK_BYTES = 31  # field elements hold 31 journal bytes (< r)
+
+
+def _round_constants() -> list[int]:
+    out = []
+    for i in range(N_ROUNDS):
+        h = hashlib.sha256(b"zktls-tpu-mimc-bn254/%d" % i).digest()
+        out.append(int.from_bytes(h, "big") % R)
+    return out
+
+
+_RC = _round_constants()
+
+
+def _perm(x: int, k: int) -> int:
+    for c in _RC:
+        x = pow((x + k + c) % R, 5, R)
+    return x
+
+
+def mimc_hash(chunks: list[int]) -> int:
+    """Miyaguchi–Preneel over the MiMC permutation: h ← P(m, h) + h + m."""
+    h = 0
+    for m in chunks:
+        m %= R
+        h = (_perm(m, h) + h + m) % R
+    return h
+
+
+def journal_chunks(journal: bytes) -> list[int]:
+    return [int.from_bytes(journal[i : i + CHUNK_BYTES], "big")
+            for i in range(0, len(journal), CHUNK_BYTES)] + [len(journal)]
+
+
+def journal_digest_fr(journal: bytes) -> int:
+    return mimc_hash(journal_chunks(journal))
+
+
+def build_wrap_circuit(journal: bytes) -> R1CS:
+    """R1CS: public digest, private journal chunks, MiMC-MP evaluated
+    in-circuit (3 constraints per round: x², x⁴, x⁵)."""
+    chunks = journal_chunks(journal)
+    cs = R1CS()
+    digest = cs.public_input(mimc_hash(chunks))
+    h_lc = {0: 0}          # running hash starts at 0 (constant)
+    h_val = 0
+    for m_val in chunks:
+        m = cs.witness(m_val)
+        # permutation P(m, h): x starts at m; round x ← (x + h + c)⁵
+        cur_lc = {m: 1}
+        cur_val = m_val % R
+        for c in _RC:
+            t_lc = dict(cur_lc)
+            t_lc[0] = (t_lc.get(0, 0) + c) % R
+            for k, v in h_lc.items():
+                if k:
+                    t_lc[k] = (t_lc.get(k, 0) + v) % R
+                else:
+                    t_lc[0] = (t_lc.get(0, 0) + v) % R
+            t_val = (cur_val + h_val + c) % R
+            x2 = cs.mul(t_lc, t_lc)
+            x4 = cs.mul({x2: 1}, {x2: 1})
+            x5 = cs.mul({x4: 1}, t_lc)
+            cur_lc = {x5: 1}
+            cur_val = pow(t_val, 5, R)
+        # h' = P + h + m
+        new_h = (cur_val + h_val + m_val) % R
+        h_var = cs.witness(new_h)
+        sum_lc = dict(cur_lc)
+        sum_lc[m] = (sum_lc.get(m, 0) + 1) % R
+        for k, v in h_lc.items():
+            sum_lc[k] = (sum_lc.get(k, 0) + v) % R
+        cs.enforce_eq(sum_lc, {h_var: 1})
+        h_lc = {h_var: 1}
+        h_val = new_h
+    cs.enforce_eq(h_lc, {digest: 1})
+    assert cs.check(), "wrap circuit assignment inconsistent"
+    return cs
+
+
+def wrap_setup(journal_len_chunks: int, seed: bytes = b"zktls-wrap-v1"
+               ) -> Groth16Keys:
+    """CRS for a fixed chunk count (journals pad to the chunk count via
+    the length chunk; different lengths need their own CRS)."""
+    dummy = b"\x00" * ((journal_len_chunks - 1) * CHUNK_BYTES)
+    return setup(build_wrap_circuit(dummy), seed=seed)
+
+
+def wrap_prove(keys: Groth16Keys, journal: bytes) -> tuple[int, bytes]:
+    cs = build_wrap_circuit(journal)
+    proof = prove(keys, cs)
+    return journal_digest_fr(journal), proof.to_bytes()
+
+
+def wrap_verify(keys_vk: dict, digest: int, proof_bytes: bytes) -> bool:
+    return verify(keys_vk, [digest], Groth16Proof.from_bytes(proof_bytes))

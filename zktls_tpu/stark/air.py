@@ -168,6 +168,7 @@ class AirBuilder:
     _group: Callable[[Sequence[Any], slice], Any] | None = None
     _const_vec: Callable[[Sequence[int]], Any] | None = None
     _dot_const: Callable[[Any, Sequence[int]], Any] | None = None
+    _mat_const: Callable[[Any, Any], Any] | None = None
 
     def assert_zero(self, expr) -> None:
         self._fold(expr)
@@ -206,6 +207,15 @@ class AirBuilder:
         """Linear combination along the group axis with constant integer
         weights — the limb-packing primitive Σᵢ gᵢ·wᵢ."""
         return self._dot_const(group, weights)
+
+    def mat_const(self, group, weights_2d):
+        """Constant-matrix product along the group axis: (N, k) group ×
+        (k, m) integer weights → (N, m) group.  The prover lowers this to
+        ONE exact Baby-Bear matmul on the MXU (ops.babybear.matmul_mod),
+        so chips with banks of constant-weight dots (the ModMul point-
+        evaluation identity: hundreds of Σᵢ vᵢ·xᵗⁱ reductions) cost a
+        handful of XLA ops instead of thousands."""
+        return self._mat_const(group, weights_2d)
 
     def assert_zero_vec(self, expr, count: int) -> None:
         """Fold `count` constraints (one per group lane) with consecutive
@@ -350,5 +360,21 @@ def scalar_vec_hooks(fold: Callable[[Any], None],
             acc = term if acc is None else acc + term
         return acc
 
+    def mat_const(g: ScalarVec, weights_2d):
+        if len(weights_2d) != len(g.items):
+            raise ValueError(
+                f"mat_const: {len(g.items)} items vs "
+                f"{len(weights_2d)} weight rows")
+        cols = len(weights_2d[0])
+        out = []
+        for j in range(cols):
+            acc = None
+            for item, row in zip(g.items, weights_2d):
+                term = item * int(row[j])
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return ScalarVec(out)
+
     return {"_fold_vec": fold_vec, "_group": group,
-            "_const_vec": const_vec, "_dot_const": dot_const}
+            "_const_vec": const_vec, "_dot_const": dot_const,
+            "_mat_const": mat_const}

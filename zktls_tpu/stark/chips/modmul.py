@@ -127,21 +127,27 @@ class ModMulAir(Air):
         self.perm_width = 4 * (self.n_pairs + 2)
         self.num_public = L
 
-        # per-point constant weights, precomputed mod P
+        # constant weight matrices of the point-evaluation identity,
+        # precomputed mod P: column t = eval point x_t
         pts = self.eval_points
-        self._pow_a = [[pow(x, i, P) for i in range(L)] for x in pts]
-        self._pow_c = [[pow(x, k, P) for k in range(self.n_carry)]
-                       for x in pts]
-        self._pow_c256 = [[256 * pow(x, k, P) % P
-                           for k in range(self.n_carry)] for x in pts]
+        m_pts = len(pts)
+        w_full = np.array(
+            [[pow(x, i, P) for x in pts]
+             for i in range(max(L, self.n_carry))], dtype=np.uint32)
+        self._w_lim = w_full[:L]                   # (L, m)
+        self._w_car = w_full[: self.n_carry]       # (n_carry, m)
         self._c_offset_at = [
             self.offset * sum(pow(x, k, P) for k in range(self.n_carry)) % P
             for x in pts]
+        self._factor_at = [(256 - x) % P for x in pts]
         if self.moduli is not None:
             mod_limbs = [[(m >> (8 * i)) & 0xFF for i in range(L)]
                          for m in self.moduli]
-            self._m_at = [[sum(ml[i] * pow(x, i, P) for i in range(L)) % P
-                           for ml in mod_limbs] for x in pts]
+            # (nf, m): modulus polynomial evaluated at each point
+            self._w_mod = np.array(
+                [[sum(ml[i] * pow(x, i, P) for i in range(L)) % P
+                  for x in pts] for ml in mod_limbs], dtype=np.uint32)
+        assert m_pts == self.n_coeff
 
     def periodic_columns(self) -> list:
         return [np.arange(256, dtype=np.uint32)]
@@ -166,9 +172,6 @@ class ModMulAir(Air):
                               self.n_carry * self.carry_top_bits)
         E = b.local_group(sl["e"])
         b.assert_zero_vec(E * (E - 1), L - 1)
-        # borrow-polynomial weights for the canonicity identity
-        pow_e = [[pow(x, k, P) for k in range(L - 1)]
-                 for x in self.eval_points]
 
         if self.moduli is not None:
             F = b.local_group(sl["f"])
@@ -176,36 +179,38 @@ class ModMulAir(Air):
             b.assert_zero_vec(F * (F - 1), nf)
             b.assert_zero(b.dot_const(F, [1] * nf) - 1)
 
-        # --- the point-evaluated limb identity + canonicity r < m ---
-        for t, x in enumerate(self.eval_points):
-            a_x = b.dot_const(A, self._pow_a[t])
-            b_x = b.dot_const(B, self._pow_a[t])
-            q_x = b.dot_const(Q, self._pow_a[t])
-            r_x = b.dot_const(R, self._pow_a[t])
-            d_x = b.dot_const(D, self._pow_a[t])
-            if self.moduli is not None:
-                m_x = b.dot_const(F, self._m_at[t])
-            else:
-                m_x = b.dot_const(b.local_group(sl["m"]), self._pow_a[t])
-            c_x = (b.dot_const(CLO, self._pow_c[t])
-                   + b.dot_const(CMID,
-                                 [256 * w % P for w in self._pow_c[t]]))
-            if self.carry_top_bits:
-                tb = self.carry_top_bits
-                for j in range(tb):
-                    part = b.dot_const(
-                        b.local_group(slice(sl["c_top"].start + j,
-                                            sl["c_top"].stop, tb)),
-                        self._pow_c[t])
-                    c_x = c_x + ((65536 << j) % P) * part
-            c_x = c_x - self._c_offset_at[t]
-            b.assert_zero(a_x * b_x - q_x * m_x - r_x
-                          - ((256 - x) % P) * c_x)
-            # canonicity r < m: r(x) + d(x) + 1 − m(x) = (256−x)·e(x)
-            # with byte-checked d and boolean borrow bits e — an integer
-            # identity telescoping to r + d + 1 = m, so r ≤ m − 1.
-            e_x = b.dot_const(E, pow_e[t])
-            b.assert_zero(r_x + d_x + 1 - m_x - ((256 - x) % P) * e_x)
+        # --- the point-evaluated limb identity + canonicity r < m, all
+        # eval points at once: each operand's point-row is ONE exact
+        # Baby-Bear matmul on the MXU (builder.mat_const) ---
+        m_pts = self.n_coeff
+        A_p = b.mat_const(A, self._w_lim)
+        B_p = b.mat_const(B, self._w_lim)
+        Q_p = b.mat_const(Q, self._w_lim)
+        R_p = b.mat_const(R, self._w_lim)
+        D_p = b.mat_const(D, self._w_lim)
+        if self.moduli is not None:
+            M_p = b.mat_const(F, self._w_mod)
+        else:
+            M_p = b.mat_const(b.local_group(sl["m"]), self._w_lim)
+        C_p = b.mat_const(CLO, self._w_car) \
+            + 256 * b.mat_const(CMID, self._w_car)
+        if self.carry_top_bits:
+            tb = self.carry_top_bits
+            for j in range(tb):
+                part = b.mat_const(
+                    b.local_group(slice(sl["c_top"].start + j,
+                                        sl["c_top"].stop, tb)),
+                    self._w_car)
+                C_p = C_p + ((65536 << j) % P) * part
+        C_p = C_p - b.const_vec(self._c_offset_at)
+        factor = b.const_vec(self._factor_at)
+        b.assert_zero_vec(A_p * B_p - Q_p * M_p - R_p - factor * C_p,
+                          m_pts)
+        # canonicity r < m: r(x) + d(x) + 1 − m(x) = (256−x)·e(x) with
+        # byte-checked d and boolean borrow bits e — an integer identity
+        # telescoping to r + d + 1 = m, so r ≤ m − 1.
+        E_p = b.mat_const(E, self._w_lim[: L - 1])
+        b.assert_zero_vec(R_p + D_p + 1 - M_p - factor * E_p, m_pts)
 
         # --- public binding: global last row's r ---
         for j in range(L):

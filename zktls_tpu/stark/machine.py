@@ -209,7 +209,12 @@ def _sample_challenges(ch: Challenger) -> list[Fp4]:
 
 def prove_machine(chips: list[ChipInstance], binding: bytes,
                   config: StarkConfig = DEFAULT_CONFIG,
-                  timings: dict | None = None) -> MachineProof:
+                  timings: dict | None = None,
+                  devices: list | None = None) -> MachineProof:
+    """devices: optional jax.Device list — chips are placed round-robin and
+    their commit/quotient work runs concurrently (async dispatch per
+    device); the shared FRI runs on devices[0].  Proof bytes are identical
+    to the single-device result (pure field arithmetic)."""
     import time as _time
 
     def _mark(label, _t=[None]):
@@ -262,20 +267,32 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         [(inst.air.name, log_n, [int(v) % P for v in inst.publics])
          for inst, log_n in metas])
 
-    # 1. main-trace commits ---------------------------------------------
+    # 1. main-trace commits: dispatch every chip's LDE + tree first (they
+    # run concurrently — across devices when a device list is given), then
+    # observe the roots in canonical order
+    import jax as _jax
+
+    def _place(arr, idx):
+        if devices:
+            return _jax.device_put(arr, devices[idx % len(devices)])
+        return arr
+
     per = {}
-    for inst, log_n in metas:
+    for idx, (inst, log_n) in enumerate(metas):
         name = inst.air.name
         s_i = shifts[name]
-        trace_m = bb.to_mont(jnp.asarray(inst.trace))
+        trace_m = bb.to_mont(_place(jnp.asarray(inst.trace), idx))
         lde = coset_lde(trace_m, config.log_blowup, s_i)
         tree = MerkleTree(lde)
-        root = [int(x) for x in tree.root]
-        ch.observe_many(root)
         per[name] = {
             "inst": inst, "log_n": log_n, "s": s_i, "trace_m": trace_m,
-            "lde": lde, "trace_tree": tree, "trace_root": root,
+            "lde": lde, "trace_tree": tree, "dev_idx": idx,
         }
+    for inst, log_n in metas:
+        d = per[inst.air.name]
+        root = [int(x) for x in d["trace_tree"].root]
+        d["trace_root"] = root
+        ch.observe_many(root)
     _mark("lde_commit")
 
     # 2. machine challenges + perm commits + bus sums --------------------
@@ -290,26 +307,31 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
                 inst.trace, [int(v) % P for v in inst.publics], challenges)
             if perm_np.shape != (n, air.perm_width):
                 raise ValueError(f"{name}: bad perm trace shape")
-            perm_m = bb.to_mont(jnp.asarray(perm_np))
+            perm_m = bb.to_mont(_place(jnp.asarray(perm_np), d["dev_idx"]))
             perm_lde = coset_lde(perm_m, config.log_blowup, d["s"])
             perm_tree = MerkleTree(perm_lde)
-            perm_root = [int(x) for x in perm_tree.root]
-            ch.observe_many(perm_root)
             if getattr(air, "has_bus", False):
                 # the accumulator is the LAST extension element of the perm
                 # trace; its final row is the chip's cumulative bus sum
                 bus_sum = [int(v) for v in perm_np[-1, -4:]]
             else:
                 bus_sum = [0, 0, 0, 0]
-            ch.observe_many(bus_sum)
         else:
             perm_m = jnp.zeros((n, 0), jnp.uint32)
             perm_lde = jnp.zeros((n << config.log_blowup, 0), jnp.uint32)
             perm_tree = None
-            perm_root = None
             bus_sum = [0, 0, 0, 0]
         d.update(perm_m=perm_m, perm_lde=perm_lde, perm_tree=perm_tree,
-                 perm_root=perm_root, bus_sum=bus_sum)
+                 bus_sum=bus_sum)
+    for inst, log_n in metas:
+        d = per[inst.air.name]
+        if inst.air.perm_width:
+            perm_root = [int(x) for x in d["perm_tree"].root]
+            ch.observe_many(perm_root)
+            ch.observe_many(d["bus_sum"])
+        else:
+            perm_root = None
+        d["perm_root"] = perm_root
     chal_m = jnp.asarray(bb.np_to_mont(np.array(
         [c.c for c in challenges], dtype=np.uint32).reshape(-1, 4)))
     _mark("perm_commit")
@@ -335,9 +357,11 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         apow_m = jnp.asarray(bb.np_to_mont(apow))
 
         sels_np = selector_arrays(log_n, config.log_blowup, s_i)
-        sels_m = {k: bb.to_mont(jnp.asarray(sels_np[k]))
+        sels_m = {k: bb.to_mont(_place(jnp.asarray(sels_np[k]),
+                                       d["dev_idx"]))
                   for k in ("is_first_row", "is_last_row", "is_transition")}
-        inv_zh_m = bb.to_mont(jnp.asarray(sels_np["inv_z_h"]))
+        inv_zh_m = bb.to_mont(_place(jnp.asarray(sels_np["inv_z_h"]),
+                                     d["dev_idx"]))
         d["sels_np"] = sels_np
 
         periodic_cols = []
@@ -367,10 +391,12 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             [coeffs_to_coset_evals(c, config.log_blowup, s_i)
              for c in chunks], axis=1)
         q_tree = MerkleTree(q_cols)
-        q_root = [int(x) for x in q_tree.root]
+        d.update(q_cols=q_cols, q_chunks=chunks, q_tree=q_tree)
+    for inst, log_n in metas:
+        d = per[inst.air.name]
+        q_root = [int(x) for x in d["q_tree"].root]
         ch.observe_many(q_root)
-        d.update(q_cols=q_cols, q_chunks=chunks, q_tree=q_tree,
-                 q_root=q_root)
+        d["q_root"] = q_root
     _mark("quotient")
 
     # 4. out-of-domain openings -------------------------------------------
@@ -451,6 +477,8 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             bpow_all[d["beta_off"] : d["beta_off"] + d["w_z"] + d["w_gz"]])
         deep = _deep_fn(log_N, d["w_z"], d["w_gz"])(
             mat_z, mat_gz, bslice, ev_z, ev_gz, inv_x_zeta, inv_x_gzeta)
+        if devices:
+            deep = _jax.device_put(deep, devices[0])
         if log_N in deep_by_log:
             deep_by_log[log_N] = ex.ext_add(deep_by_log[log_N], deep)
         else:

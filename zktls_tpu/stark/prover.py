@@ -185,6 +185,14 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             prod = bb.mul(g.arr, jnp.asarray(w_row)[None, :])
             return BBCol(bb.sum_mod(prod, axis=1))
 
+        def mat_const(g, weights_2d):
+            w_arr = np.asarray(weights_2d)
+            if w_arr.shape[0] != g.arr.shape[-1]:
+                raise ValueError(
+                    f"mat_const: group width {g.arr.shape[-1]} vs "
+                    f"{w_arr.shape[0]} weight rows")
+            return BBCol(bb.matmul_mod(g.arr, w_arr))
+
         builder = AirBuilder(
             local=[BBCol(lde[:, j]) for j in range(w)],
             next=[BBCol(next_lde[:, j]) for j in range(w)],
@@ -211,6 +219,7 @@ def _quotient_fn(air: Air, log_n: int, log_blowup: int):
             _group=group,
             _const_vec=const_vec,
             _dot_const=dot_const,
+            _mat_const=mat_const,
         )
         air.eval(builder)
         return ex.ext_scale(acc_arr[0], inv_zh)

@@ -122,3 +122,82 @@ def test_self_signed_chain_rejected_without_anchor(fixture_cbor_bytes):
     res = verify_chain(chain[:-1], "httpbin.org",
                        decode_journal(out.journal)["time"])
     assert res["anchored"]  # issuer of the intermediate is a store root
+
+
+def test_loopback_p384_rsa_session_covers_all_widths(tmp_path):
+    """A live loopback session negotiating ECDHE over secp384r1 with an
+    RSA certificate: every recorded modmul event lands in a width-class
+    chip and the machine instances build cleanly (VERDICT round-2 item 4:
+    no NotImplementedError on real sessions with wide moduli)."""
+    import datetime
+    import socket
+    import ssl
+    import threading
+
+    from cryptography import x509 as cx509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa as crsa
+    from cryptography.x509.oid import NameOID
+
+    from zktls_tpu.host.input_builder import TLSInputBuilder
+    from zktls_tpu.core.types import Request, RequestInfo
+    from zktls_tpu.provers.stark import build_chip_instances
+
+    key = crsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = cx509.Name([cx509.NameAttribute(NameOID.COMMON_NAME,
+                                           "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (cx509.CertificateBuilder().subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(cx509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=30))
+            .add_extension(cx509.SubjectAlternativeName(
+                [cx509.DNSName("localhost")]), critical=False)
+            .sign(key, hashes.SHA256()))
+    certfile = tmp_path / "cert.pem"
+    keyfile = tmp_path / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+    ctx.maximum_version = ssl.TLSVersion.TLSv1_2
+    ctx.set_ciphers("ECDHE-RSA-AES128-GCM-SHA256")
+    ctx.set_ecdh_curve("secp384r1")
+    ctx.load_cert_chain(certfile, keyfile)
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    response = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+
+    def serve():
+        conn, _ = srv.accept()
+        tls = ctx.wrap_socket(conn, server_side=True)
+        while b"\r\n\r\n" not in tls.recv(4096):
+            pass
+        tls.sendall(response)
+        tls.unwrap()
+        tls.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    req = Request(version=1, request_info=RequestInfo(
+        request=b"GET / HTTP/1.1\r\nHost: localhost\r\n"
+                b"Connection: close\r\n\r\n",
+        remote_addr=f"127.0.0.1:{port}", server_name="localhost"))
+    gi = TLSInputBuilder().build_input(req)
+    t.join(timeout=10)
+
+    out = run_guest(gi, require_trust_anchor=False)
+    bits = {ev.m.bit_length() for ev in out.modmul_events}
+    assert any(b in (383, 384) for b in bits), "no P-384 events recorded"
+    assert 2048 in bits, "no RSA events recorded"
+    chips = {c.air.name for c in build_chip_instances(out)}
+    assert "ModMul384Air" in chips and "ModMulRsa2048Air" in chips
+    assert out.replay.curve_name == "secp384r1"

@@ -80,20 +80,26 @@ def _air_registry() -> dict:
     }
 
 
-def journal_airs(journal: bytes, proof: MachineProof) -> list:
-    """The chip set to verify a proof of this journal against.  The journal
-    pins the REQUIRED chips (SHA-256 and the 256-bit ModMul always — every
-    session derives keys, hashes its journal, and recovers the origin
-    signer; the GCM triangle whenever the journal carries record headers).
-    The optional wider ModMul widths are taken from the proof itself —
-    extra valid chips never weaken the statement, unknown names reject."""
+def journal_airs(journal: bytes | list[bytes], proof: MachineProof) -> list:
+    """The chip set to verify a proof of this journal (or, for batches,
+    list of journals) against.  EVERY journal pins REQUIRED chips (SHA-256
+    and the 256-bit ModMul always — every session derives keys, hashes its
+    journal, and recovers the origin signer; the GCM triangle whenever the
+    journal carries record headers); a batch's requirement is the union, so
+    a GCM-less first journal cannot under-require chips for GCM sessions
+    later in the batch.  The optional wider ModMul widths are taken from
+    the proof itself — extra valid chips never weaken the statement,
+    unknown names reject."""
     from ..guest.journal import decode_journal
 
     registry = _air_registry()
-    j = decode_journal(journal)
+    journals = [journal] if isinstance(journal, (bytes, bytearray)) \
+        else list(journal)
     required = {"Sha256Air", "ModMul256Air"}
-    if j["gcm_records"]:
-        required |= {"Aes128Air", "GhashAir", "GcmControlAir"}
+    for jb in journals:
+        j = decode_journal(jb)
+        if j["gcm_records"]:
+            required |= {"Aes128Air", "GhashAir", "GcmControlAir"}
     names = {cp.name for cp in proof.chips}
     missing = required - names
     if missing:
@@ -244,7 +250,7 @@ class StarkGuestProver:
     def verify_batch(self, journals: list[bytes], proof: bytes) -> bool:
         mp = MachineProof.from_bytes(proof)
         return verify_machine(
-            journal_airs(journals[0], mp), mp,
+            journal_airs(journals, mp), mp,
             binding=b"".join(journals),
             public_messages=batch_public_messages(journals),
             config=self.config)

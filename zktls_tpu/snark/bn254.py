@@ -280,6 +280,14 @@ def is_on_g2(p2) -> bool:
     return f2_sub(f2_sqr(y), f2_add(f2_mul(f2_sqr(x), x), B2)) == F2_ZERO
 
 
+def in_g2_subgroup(p2) -> bool:
+    """Order-r subgroup membership for twist points.  BN254's twist has a
+    large cofactor, so on-curve membership alone admits points outside G2
+    (diverging from EIP-197 precompile semantics and breaking the Groth16
+    soundness assumptions for attacker-supplied proof.b)."""
+    return is_on_g2(p2) and g2_mul(p2, R) is None
+
+
 # ---------------------------------------------------------------------------
 # optimal-ate pairing
 # ---------------------------------------------------------------------------
@@ -395,8 +403,8 @@ def pairing(p1, q2):
     """e(P, Q) for P ∈ G1, Q ∈ G2 (affine, None = infinity)."""
     if p1 is None or q2 is None:
         return fp12_one()
-    if not (is_on_g1(p1) and is_on_g2(q2)):
-        raise ValueError("point not on curve")
+    if not (is_on_g1(p1) and in_g2_subgroup(q2)):
+        raise ValueError("point not on curve / not in G2 subgroup")
     return final_exponentiation(_miller(q2, p1))
 
 
@@ -407,8 +415,8 @@ def pairing_product(pairs) -> bool:
     for p1, q2 in pairs:
         if p1 is None or q2 is None:
             continue
-        if not (is_on_g1(p1) and is_on_g2(q2)):
-            raise ValueError("point not on curve")
+        if not (is_on_g1(p1) and in_g2_subgroup(q2)):
+            raise ValueError("point not on curve / not in G2 subgroup")
         f = f12_mul(f, _miller(q2, p1))
     return final_exponentiation(f) == fp12_one()
 

@@ -14,11 +14,13 @@ BN254 scalar field's 2^28 two-adicity (radix-2 NTT over a coset).
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 from .bn254 import (
     G1,
     G2,
+    P as BN_P,
     R,
     fp12_one,
     g1_add,
@@ -127,7 +129,12 @@ class Groth16Proof:
     @classmethod
     def from_bytes(cls, data: bytes) -> "Groth16Proof":
         def word(i):
-            return int.from_bytes(data[32 * i : 32 * (i + 1)], "big")
+            v = int.from_bytes(data[32 * i : 32 * (i + 1)], "big")
+            if v >= BN_P:
+                # non-canonical coordinate: accepting it (reducing mod p)
+                # would make proofs malleable
+                raise ValueError("non-canonical BN254 coordinate in proof")
+            return v
 
         return cls(
             a=(word(0), word(1)),
@@ -234,12 +241,21 @@ def _h_coeffs(cs: R1CS, z: list[int]) -> list[int]:
 
 
 def prove(keys: Groth16Keys, cs: R1CS,
-          randomness: bytes = b"") -> Groth16Proof:
+          randomness: bytes | None = None) -> Groth16Proof:
+    """randomness: explicit blinding entropy for reproducible tests; by
+    default FRESH os.urandom is drawn per proof — r and s must never be
+    recomputable from public data or the masking terms r·δ, s·δ can be
+    stripped and zero-knowledge collapses."""
     z = cs.assignment()
     if not cs.check():
         raise ValueError("R1CS assignment does not satisfy the constraints")
+    if randomness is None:
+        randomness = os.urandom(64)
+    # mix the FULL private assignment (not just the public prefix) so even
+    # caller-supplied low-entropy randomness never yields publicly
+    # recomputable blinding scalars
     rs = hashlib.sha512(b"groth16-rand/" + randomness
-                        + bytes(str(z[: cs.n_public + 1]), "ascii")).digest()
+                        + bytes(str(z), "ascii")).digest()
     r = int.from_bytes(rs[:32], "big") % R
     s = int.from_bytes(rs[32:], "big") % R
 

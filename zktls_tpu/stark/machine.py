@@ -656,9 +656,11 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
     public_messages = public_messages or []
     air_by_name = {a.name: a for a in airs}
     _check(len(air_by_name) == len(airs), "duplicate airs")
-    _check(len(proof.chips) == len(airs), "chip count mismatch")
-    for cp in proof.chips:
-        _check(cp.name in air_by_name, f"unknown chip {cp.name!r}")
+    # multiset equality: a proof must contain EVERY air exactly once — a
+    # duplicate chip name would otherwise silently displace another air's
+    # constraints (undetectable via the bus for busless chips)
+    _check(sorted(c.name for c in proof.chips) == sorted(air_by_name),
+           "chip name multiset != air set")
     expect_order = _machine_order(
         proof.chips, lambda c: c.log_n + config.log_blowup,
         lambda c: c.name)
@@ -674,6 +676,13 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
     for cp in proof.chips:
         air = air_by_name[cp.name]
         log_N = cp.log_n + config.log_blowup
+        # mirror the prover's geometry check (prove_machine): a chip whose
+        # commitment domain does not exceed fri_final_size would never join
+        # the FRI walk, leaving its OOD evals and bus sum unbound to any
+        # commitment — reject outright.
+        _check((1 << log_N) > config.fri_final_size,
+               f"{cp.name}: commitment domain (2^{log_N}) must exceed "
+               "fri_final_size")
         k = log_N_max - log_N
         s_i = pow(s, 1 << k, P)
         n = 1 << cp.log_n

@@ -202,6 +202,39 @@ def matmul_mod(v, w_np):
     return out
 
 
+def matmul_mod_rt(v, w):
+    """matmul_mod with RUNTIME plain-integer weights: (N, k) Montgomery
+    field values × (k, m) plain uint32 device array → (N, m) Montgomery.
+    Same base-128 digit decomposition as matmul_mod, but the weight digits
+    are computed in-graph — used by the constraint-VM fold, whose α-power
+    matrix changes every proof."""
+    import jax
+
+    k = v.shape[-1]
+    if 5 * k * 127 * 127 >= (1 << 31):
+        raise ValueError("matmul_mod_rt: k too large for exact int32 matmul")
+    wi = w.astype(jnp.int32)
+    digs_w = [((wi >> (7 * j)) & 127).astype(jnp.int8) for j in range(5)]
+    vi = v.astype(jnp.int32)
+    digs_v = [((vi >> (7 * i)) & 127).astype(jnp.int8) for i in range(5)]
+    t = [None] * 9
+    for i in range(5):
+        for j in range(5):
+            prod = jax.lax.dot_general(
+                digs_v[i], digs_w[j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = i + j
+            t[s] = prod if t[s] is None else t[s] + prod
+    out = None
+    for s in range(9):
+        c_s = jnp.uint32((pow(128, s, _P_INT) * MONT_R) % _P_INT)
+        term = mul(t[s].astype(jnp.uint32),
+                   jnp.broadcast_to(c_s, t[s].shape))
+        out = term if out is None else add(out, term)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host-side helpers
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ Transcript order (prover/verifier mirror exactly):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -347,14 +348,20 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         s_i = d["s"]
         publics_full = [int(v) % P for v in inst.publics] + d["bus_sum"]
         d["publics_full"] = publics_full
-        n_constraints = _count_constraints_machine(air, publics_full,
-                                                   challenges)
+        use_vm = os.environ.get("ZKTLS_QUOTIENT", "vm") != "xla"
+        if use_vm:
+            from .lowering import eval_quotient_vm, lower_air
+
+            n_constraints = lower_air(
+                air, len(publics_full), len(challenges)).n_constraints
+        else:
+            n_constraints = _count_constraints_machine(air, publics_full,
+                                                       challenges)
         apow = np.empty((max(n_constraints, 1), 4), dtype=np.uint32)
         acc = Fp4(1)
         for i in range(n_constraints):
             apow[i] = acc.c
             acc = acc * alpha
-        apow_m = jnp.asarray(bb.np_to_mont(apow))
 
         sels_np = selector_arrays(log_n, config.log_blowup, s_i)
         sels_m = {k: bb.to_mont(_place(jnp.asarray(sels_np[k]),
@@ -376,13 +383,19 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         periodic_stack = (jnp.stack(periodic_cols, axis=0) if periodic_cols
                           else jnp.zeros((0, N), jnp.uint32))
 
-        quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
-        quotient_vals = quotient_fn(
-            d["lde"], d["perm_lde"], chal_m, apow_m,
-            jnp.asarray(bb.np_to_mont(np.array(publics_full,
-                                               dtype=np.uint32))),
-            sels_m["is_first_row"], sels_m["is_last_row"],
-            sels_m["is_transition"], inv_zh_m, periodic_stack)
+        if use_vm:
+            quotient_vals = eval_quotient_vm(
+                air, d["lde"], d["perm_lde"], challenges, publics_full,
+                apow, sels_m, inv_zh_m, periodic_stack, config.log_blowup)
+        else:
+            apow_m = jnp.asarray(bb.np_to_mont(apow))
+            quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
+            quotient_vals = quotient_fn(
+                d["lde"], d["perm_lde"], chal_m, apow_m,
+                jnp.asarray(bb.np_to_mont(np.array(publics_full,
+                                                   dtype=np.uint32))),
+                sels_m["is_first_row"], sels_m["is_last_row"],
+                sels_m["is_transition"], inv_zh_m, periodic_stack)
 
         q_coeffs = coset_coeffs(quotient_vals, s_i)
         chunks = [q_coeffs[k * n : (k + 1) * n]

@@ -370,13 +370,19 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
 
     # 2. quotient ----------------------------------------------------------
     alpha = ch.sample_ext()
-    n_constraints = _count_constraints(air, public_values)
+    use_vm = __import__("os").environ.get("ZKTLS_QUOTIENT", "vm") != "xla"
+    if use_vm:
+        from .lowering import eval_quotient_vm, lower_air
+
+        n_constraints = lower_air(
+            air, len(public_values), len(challenges)).n_constraints
+    else:
+        n_constraints = _count_constraints(air, public_values)
     apow = np.empty((max(n_constraints, 1), 4), dtype=np.uint32)
     acc = Fp4(1)
     for i in range(n_constraints):
         apow[i] = acc.c
         acc = acc * alpha
-    apow_m = jnp.asarray(bb.np_to_mont(apow))
 
     sels_np = selector_arrays(log_n, config.log_blowup, s)
     sels_m = {
@@ -401,13 +407,20 @@ def prove(air: Air, trace: np.ndarray, public_values: list[int] | None = None,
         else jnp.zeros((0, N), jnp.uint32)
     )
 
-    quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
-    quotient_vals = quotient_fn(
-        lde, perm_lde, chal_m, apow_m,
-        jnp.asarray(bb.np_to_mont(np.array(public_values, dtype=np.uint32))),
-        sels_m["is_first_row"], sels_m["is_last_row"],
-        sels_m["is_transition"], inv_zh_m, periodic_stack,
-    )  # (N, 4)
+    if use_vm:
+        quotient_vals = eval_quotient_vm(
+            air, lde, perm_lde, challenges, public_values, apow,
+            sels_m, inv_zh_m, periodic_stack, config.log_blowup)  # (N, 4)
+    else:
+        apow_m = jnp.asarray(bb.np_to_mont(apow))
+        quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
+        quotient_vals = quotient_fn(
+            lde, perm_lde, chal_m, apow_m,
+            jnp.asarray(bb.np_to_mont(np.array(public_values,
+                                               dtype=np.uint32))),
+            sels_m["is_first_row"], sels_m["is_last_row"],
+            sels_m["is_transition"], inv_zh_m, periodic_stack,
+        )  # (N, 4)
 
     # 3. split + commit quotient ------------------------------------------
     q_coeffs = coset_coeffs(quotient_vals, s)                # (N, 4)

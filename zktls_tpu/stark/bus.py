@@ -29,6 +29,9 @@ from ..ops.field_ref import Fp4, P
 __all__ = [
     "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
+    "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
+    "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
+    "BUS_TAG_BYTE", "BUS_XOR", "BUS_FILTERED",
     "RESULT_TAG_JOURNAL", "RESULT_TAG_STREAM",
     "MAX_PAYLOAD", "NUM_MACHINE_CHALLENGES",
     "bus_fingerprint", "bus_term", "delta_powers",
@@ -61,6 +64,44 @@ BUS_GCM_TAG = 0x106
 BUS_GCM_RECORD = 0x107
 #: reserved for the EC schedule chip (round-3: bind modmul operands).
 BUS_MODMUL = 0x108
+#: (obj, seq, half, 16×u16) — one 32-byte half of a compression's message
+#: block, sent by the SHA chip for expose-flagged (xb) chains, received by
+#: the stream-parser chip.  Binds the parser's byte column to the exact
+#: preimage of the journal's stream_sha256.
+BUS_SHA_BLOCK = 0x109
+#: (eid, blk_idx, block 8×u16) — one 16-byte ciphertext block (zero-padded),
+#: sent by the GCM data chip, received by the GHASH chip at the matching
+#: ct-block group.
+BUS_GCM_CT = 0x10A
+#: (eid, aad_block 8×u16) — the single zero-padded AAD block, control → GHASH.
+BUS_GCM_AAD = 0x10B
+#: (eid, len_block 8×u16) — the final GHASH length block
+#: (aad_bits ‖ ct_bits), control → GHASH.
+BUS_GCM_LEN = 0x10C
+#: (eid, blk_idx, keystream 8×u16) — one keystream block E_K(ctr),
+#: control → GCM data chip (for plaintext recovery).
+BUS_GCM_KS = 0x10D
+#: (eid, crem, byte, rpos, is_resp, v13, obj) — one ciphertext byte located
+#: in the stream tape (crem = remaining ct bytes incl. this one; rpos = the
+#: byte's response position for response records, P−1 sentinel otherwise),
+#: parser → GCM data chip.
+BUS_CT_BYTE = 0x10E
+#: (eid, seqno, rectype, ct_len, v13, is_resp) — one parsed GCM record's
+#: public metadata, parser → control chip.
+BUS_PARSE_REC = 0x10F
+#: (eid, nrem, byte) — one TLS 1.2 explicit-nonce byte (nrem = 8..1
+#: countdown), parser → control chip.
+BUS_NONCE_BYTE = 0x110
+#: (eid, trem, byte) — one record tag byte (trem = 16..1), parser → control.
+BUS_TAG_BYTE = 0x111
+#: (x, y, x^y) over 4-bit nibbles — the xor lookup table chip's rows,
+#: consumed by the GCM data chip's plaintext = ct ⊕ keystream checks.
+BUS_XOR = 0x112
+#: (obj, pos, byte) — one journal filtered-response byte at response
+#: position pos (sent by the VERIFIER from public journal data; obj is the
+#: session's stream hash-object id), received by the GCM data chip at the
+#: matching plaintext byte.
+BUS_FILTERED = 0x113
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes

@@ -221,6 +221,23 @@ def _kernel_benches() -> None:
     states.block_until_ready()
     dt = (time.time() - t0) / reps
     perms_per_s = n / dt
+    # the Pallas kernel (opt-in Merkle sponge via ZKTLS_PALLAS=1)
+    try:
+        from zktls_tpu.ops.pallas_poseidon2 import permute_batch_pallas
+
+        sp = bb.to_mont(jnp.asarray(np.random.randint(
+            0, 2**31 - 1, size=(n, 16), dtype=np.uint32)))
+        permute_batch_pallas(sp).block_until_ready()
+        t0 = time.time()
+        for _ in range(reps):
+            sp = permute_batch_pallas(sp)
+        sp.block_until_ready()
+        dtp = (time.time() - t0) / reps
+        RESULT["poseidon2_pallas_mperms_s"] = round(n / dtp / 1e6, 2)
+        log(f"poseidon2 pallas: {n / dtp / 1e6:.2f} M perms/s "
+            f"({dt / dtp:.2f}x vs XLA)")
+    except Exception as e:  # pragma: no cover
+        log("pallas poseidon2 bench failed:", e)
     # HBM speed of light: 16 lanes × 4 B in + out per permutation
     sol_perms = HBM_BYTES_PER_S / (16 * 4 * 2)
     RESULT["poseidon2_mperms_s"] = round(perms_per_s / 1e6, 2)

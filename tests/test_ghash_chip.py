@@ -85,6 +85,17 @@ def test_full_gcm_event_bus_messages():
     expect = (bus_term(CHALS, BUS_GCM_TAG, [4] + u16_limbs(ev.tag))
               - bus_term(CHALS, BUS_GCM_H, [4] + u16_limbs(ev.h_block))
               - bus_term(CHALS, BUS_GCM_MASK, [4] + u16_limbs(ev.j0_mask)))
+    # round 3: every processed block is bus-bound too
+    from zktls_tpu.stark.bus import BUS_GCM_AAD, BUS_GCM_CT, BUS_GCM_LEN
+
+    def blk_limbs(v):
+        return u16_limbs(int(v).to_bytes(16, "big"))
+
+    expect = expect - bus_term(CHALS, BUS_GCM_AAD, [4] + blk_limbs(blocks[0]))
+    for i, blk in enumerate(blocks[1:-1]):
+        expect = expect - bus_term(CHALS, BUS_GCM_CT,
+                                   [4, i + 1] + blk_limbs(blk))
+    expect = expect - bus_term(CHALS, BUS_GCM_LEN, [4] + blk_limbs(blocks[-1]))
     assert Fp4(*bus) == expect
 
 

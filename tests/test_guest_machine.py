@@ -59,8 +59,10 @@ def test_journal_v2_binding_fields(guest_out, fixture_cbor_bytes):
     gi = LegacyGuestInput.from_cbor(fixture_cbor_bytes).to_guest_input()
     j = decode_journal(guest_out.journal)
     assert j["stream_sha256"] == hashlib.sha256(gi.response.stream).digest()
+    from zktls_tpu.stark.chips.gcm_control import GCM_RECORD_SIZE
+
     n_events = len(guest_out.replay.gcm_events)
-    assert len(j["gcm_records"]) == 32 * n_events
+    assert len(j["gcm_records"]) == GCM_RECORD_SIZE * n_events
     # SHA recorder tagged both binding digests
     tags = [e.result_tag for e in guest_out.replay.sha256_recorder.events
             if e.result_tag]
@@ -71,10 +73,13 @@ def test_journal_v2_binding_fields(guest_out, fixture_cbor_bytes):
 
 def test_public_messages_match_journal(guest_out):
     msgs = journal_public_messages(guest_out.journal)
+    j = decode_journal(guest_out.journal)
     n_events = len(guest_out.replay.gcm_events)
-    # 2 SHA results received + one record header sent per GCM event
-    assert len(msgs) == 2 + n_events
-    assert sum(1 for *_x, m in msgs if m == -1) == 2
+    n_filtered = sum(j["filtered_lengths"])
+    # received: 2 SHA results + 2 keccak results; sent: one record header
+    # per GCM event + one message per filtered response byte
+    assert len(msgs) == 4 + n_events + n_filtered
+    assert sum(1 for *_x, m in msgs if m == -1) == 4
 
 
 @pytest.mark.skipif(not os.environ.get("ZKTLS_SLOW_TESTS"),
@@ -99,6 +104,20 @@ def test_full_machine_prove_verify_and_tampers(fixture_cbor_bytes):
     idx = journal.rindex(j["gcm_records"][:32])
     bad = bytearray(journal)
     bad[idx + 20] ^= 1
+    with pytest.raises(VerificationError):
+        prover.verify(bytes(bad), proof)
+    # round 3: flipping a filtered_content byte must fail (the GCM data
+    # chip matches filtered ranges against decrypted plaintext)
+    content = j["filtered_contents"][0]
+    cidx = journal.rindex(bytes(content))
+    bad = bytearray(journal)
+    bad[cidx] ^= 1
+    with pytest.raises(VerificationError):
+        prover.verify(bytes(bad), proof)
+    # round 3: flipping a response_hash byte must fail (keccak chip)
+    hidx = journal.index(j["response_hash"])
+    bad = bytearray(journal)
+    bad[hidx] ^= 1
     with pytest.raises(VerificationError):
         prover.verify(bytes(bad), proof)
 

@@ -128,20 +128,24 @@ def test_evm_simulation_matches_native_verify(tmp_path):
 
 
 @pytest.mark.skipif(not os.environ.get("ZKTLS_SLOW_TESTS"),
-                    reason="wrap setup+prove is ~1 min pure Python; set "
-                           "ZKTLS_SLOW_TESTS=1")
+                    reason="fixed-size wrap setup+prove is minutes of pure "
+                           "Python; set ZKTLS_SLOW_TESTS=1")
 def test_journal_wrap_end_to_end():
-    from zktls_tpu.snark.wrap import (
-        build_wrap_circuit,
-        wrap_prove,
-        wrap_verify,
-    )
-    from zktls_tpu.verifier_export import simulate_evm_verify
+    """One CRS for ALL journals (round-3: fixed MAX_CHUNKS circuit) and
+    end-to-end contract composition: ZkTlsVerifier's on-chain MiMC digest
+    of the journal feeds Groth16Verifier; a forged journal is rejected."""
+    from zktls_tpu.snark.wrap import wrap_prove, wrap_setup, wrap_verify
+    from zktls_tpu.verifier_export import simulate_zktls_verify
 
+    keys = wrap_setup()
     journal = b"J" * 93
-    cs = build_wrap_circuit(journal)
-    keys = setup(cs)
     digest, proof = wrap_prove(keys, journal)
     assert wrap_verify(keys.vk(), digest, proof)
     assert not wrap_verify(keys.vk(), digest + 1, proof)
-    assert simulate_evm_verify(keys.vk(), [digest], proof)
+    assert simulate_zktls_verify(keys.vk(), journal, proof)
+    # same vk verifies a DIFFERENT-length journal (single CRS)
+    j2 = b"K" * 400
+    d2, p2 = wrap_prove(keys, j2)
+    assert simulate_zktls_verify(keys.vk(), j2, p2)
+    # forged journal byte → digest changes → pairing check fails
+    assert not simulate_zktls_verify(keys.vk(), b"X" + j2[1:], p2)

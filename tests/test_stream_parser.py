@@ -88,6 +88,7 @@ def parser_messages(stream: bytes, events, v13: int, obj: int):
             msgs.append((BUS_SHA_BLOCK, [obj, blk, half] + limbs, 1))
     c2s, s2c = stream_halves(stream)
     for dk, data in (("c", c2s), ("s", s2c)):
+        dsv = 1 if dk == "s" else 0
         enc, cnt, dtot = 0, 0, 0
         pos = 0
         while pos < len(data):
@@ -104,21 +105,22 @@ def parser_messages(stream: bytes, events, v13: int, obj: int):
                 ctlen = len(ct)
                 if v13:
                     ev = events[eid]
-                    isr = 1 if dk == "s" and ev.plaintext and \
-                        ev.plaintext[-1] == 23 else 0
+                    isr = 1 if ev.plaintext and ev.plaintext[-1] == 23 \
+                        else 0
                 else:
-                    isr = 1 if dk == "s" and typ == 23 else 0
+                    isr = 1 if typ == 23 else 0
                 msgs.append((BUS_PARSE_REC,
-                             [eid, cnt, typ, ctlen, v13, isr], -1))
+                             [eid, cnt, typ, ctlen, v13, isr * dsv], -1))
                 for j, byq in enumerate(nonce):
                     msgs.append((BUS_NONCE_BYTE, [eid, 7 - j, byq], -1))
                 for j, byq in enumerate(tag):
                     msgs.append((BUS_TAG_BYTE, [eid, 15 - j, byq], -1))
                 for j, byq in enumerate(ct):
-                    rpos = dtot + j if isr else RPOS_SENTINEL
+                    isrb = isr and not (v13 and j == ctlen - 1)
+                    rpos = dtot + j if isrb else RPOS_SENTINEL
                     msgs.append((BUS_CT_BYTE,
                                  [eid, ctlen - 1 - j, byq, rpos, isr,
-                                  v13, obj], -1))
+                                  v13, obj, dsv, 1 if isrb else 0], -1))
                 if isr:
                     dtot += ctlen - v13
                 cnt += 1

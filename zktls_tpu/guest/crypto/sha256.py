@@ -66,6 +66,9 @@ class CompressionEvent:
     obj: int = 0
     seq: int = 0
     result_tag: int = 0
+    #: 1 ⇒ the SHA chip sends this compression's message block on the bus
+    #: (BUS_SHA_BLOCK) for the stream-parser chip to consume
+    expose_block: int = 0
 
 
 class SHA256Recorder:
@@ -74,14 +77,27 @@ class SHA256Recorder:
 
     def __init__(self) -> None:
         self.events: list[CompressionEvent] = []
-        self._next_obj = 1
+        # ids below 4096 are reserved for deterministic stream-tape hash
+        # objects (session i in a batch uses obj = i+1; the verifier's
+        # filtered-byte messages carry these ids)
+        self._next_obj = 4096
 
     def new(self, data: bytes = b"") -> "SHA256":
         return SHA256(data, recorder=self)
 
-    def sha256(self, data: bytes, result_tag: int = 0) -> bytes:
-        """One-shot digest, optionally published with a result tag."""
-        return SHA256(data, recorder=self).digest(result_tag=result_tag)
+    def sha256(self, data: bytes, result_tag: int = 0,
+               expose_blocks: bool = False, obj: int | None = None) -> bytes:
+        """One-shot digest, optionally published with a result tag.
+        expose_blocks marks every compression of this hash object for
+        block publication (the stream-parser binding); obj pins the hash
+        object id (the parser/verifier use deterministic stream ids)."""
+        h = SHA256(recorder=self)
+        if obj is not None:
+            h._obj = obj
+        if expose_blocks:
+            h._expose = 1
+        h.update(data)
+        return h.digest(result_tag=result_tag)
 
     def _assign_obj(self) -> int:
         obj = self._next_obj
@@ -118,6 +134,7 @@ class SHA256:
         self._recorder = recorder
         self._obj = recorder._assign_obj() if recorder is not None else 0
         self._seq = 0
+        self._expose = 0
         if data:
             self.update(data)
 
@@ -128,6 +145,7 @@ class SHA256:
         h._length = self._length
         h._obj = self._obj
         h._seq = self._seq
+        h._expose = self._expose
         return h
 
     def _compress(self, block: bytes) -> None:
@@ -135,7 +153,9 @@ class SHA256:
         if self._recorder is not None:
             self._recorder.events.append(
                 CompressionEvent(block=block, state_in=self._state,
-                                 state_out=out, obj=self._obj, seq=self._seq)
+                                 state_out=out, obj=self._obj,
+                                 seq=self._seq,
+                                 expose_block=self._expose)
             )
         self._state = out
         self._seq += 1

@@ -28,6 +28,12 @@ class GuestOutput:
     #: every modular mul/inverse of the EC paths (ECDHE, ECDSA cert
     #: signatures, origin recovery) — the ModMul chip's witness stream
     modmul_events: list = None
+    #: the raw recorded stream tape (the stream-parser chip's byte rows)
+    stream: bytes = b""
+    #: session negotiated TLS 1.3
+    v13: bool = False
+    #: per-GCM-record stream metadata (record_walk.GcmRecordMeta)
+    gcm_metas: list = None
 
 
 def run_guest(guest_input: GuestInput, *, require_cert_validity: bool = True,
@@ -81,10 +87,20 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
     # (RESULT_TAG_STREAM); the GCM record headers ground the control chip
     from ..stark.bus import RESULT_TAG_JOURNAL, RESULT_TAG_STREAM
     from ..stark.chips.gcm_control import pack_gcm_records
+    from ..stark.chips.record_walk import walk_stream_records
 
+    v13 = replay.version == 0x0304
+    has_gcm = bool(replay.gcm_events)
+    # GCM sessions: the stream hash chain exposes its message blocks on
+    # the bus for the stream-parser chip, under the reserved object id 1
+    # (batch sessions use i+1; the verifier derives the id) — see
+    # stark/chips/stream_parser.py
     stream_sha256 = replay.sha256_recorder.sha256(
-        resp.stream, result_tag=RESULT_TAG_STREAM)
-    gcm_records = pack_gcm_records(replay.gcm_events)
+        resp.stream, result_tag=RESULT_TAG_STREAM,
+        expose_blocks=has_gcm, obj=1 if has_gcm else None)
+    gcm_metas = (walk_stream_records(resp.stream, replay.gcm_events, v13)
+                 if has_gcm else [])
+    gcm_records = pack_gcm_records(replay.gcm_events, gcm_metas, v13)
 
     journal = encode_journal(
         guest_input,
@@ -99,4 +115,5 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
     # the received journal (guest/journal.py, stark/machine.py)
     replay.sha256_recorder.sha256(journal, result_tag=RESULT_TAG_JOURNAL)
     return GuestOutput(journal=journal, replay=replay, chain=chain,
-                       modmul_events=modmul_rec.events)
+                       modmul_events=modmul_rec.events, stream=resp.stream,
+                       v13=v13, gcm_metas=gcm_metas)

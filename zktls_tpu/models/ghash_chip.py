@@ -36,6 +36,7 @@ def ghash_instance(events: list[GCMEvent]) -> ChipInstance:
     return ChipInstance(air=_AIR, trace=trace, publics=publics)
 
 
-def gcm_control_instance(events: list[GCMEvent]) -> ChipInstance:
-    trace, publics = gcm_control_trace(events)
+def gcm_control_instance(events: list[GCMEvent], metas=None,
+                         v13: bool = False) -> ChipInstance:
+    trace, publics = gcm_control_trace(events, metas=metas, v13=v13)
     return ChipInstance(air=_CTRL_AIR, trace=trace, publics=publics)

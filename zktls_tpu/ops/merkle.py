@@ -22,7 +22,16 @@ import jax.numpy as jnp
 
 from . import babybear as bb
 from .field_ref import P
-from .poseidon2 import Poseidon2, permute_batch
+from .poseidon2 import Poseidon2, permute_batch as _permute_batch_xla
+
+if os.environ.get("ZKTLS_PALLAS"):
+    # opt-in: the hand-written Pallas kernel as the Merkle sponge
+    # (zktls_tpu.ops.pallas_poseidon2 — bit-identical outputs, so proofs
+    # are unchanged; the XLA path stays the default because the axon
+    # remote-compile path for Mosaic kernels has variable availability)
+    from .pallas_poseidon2 import permute_batch_pallas as permute_batch
+else:
+    permute_batch = _permute_batch_xla
 
 __all__ = [
     "DIGEST_WIDTH", "RATE", "hash_rows", "compress_level", "MerkleTree",

@@ -40,18 +40,76 @@ __all__ = ["StarkGuestProver", "build_chip_instances",
            "journal_public_messages", "journal_airs"]
 
 
+def _filtered_multiplicities(journal: bytes, obj: int = 1) -> list[tuple]:
+    """(obj, pos, count) multiplicities of the verifier's filtered-byte
+    sends implied by a journal's filtered ranges."""
+    from ..guest.journal import decode_journal
+
+    j = decode_journal(journal)
+    counts: dict[tuple, int] = {}
+    for begin, length in zip(j["filtered_begins"], j["filtered_lengths"]):
+        for k in range(length):
+            key = (obj, begin + k)
+            counts[key] = counts.get(key, 0) + 1
+    return [(o, pos, cnt) for (o, pos), cnt in counts.items()]
+
+
 def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
     """The machine chip set for a guest execution."""
     from ..models.aes128_chip import aes128_instance
     from ..models.ghash_chip import gcm_control_instance, ghash_instance
     from ..models.modmul_chip import modmul_instances
     from ..models.sha256_chip import sha256_instance
+    from ..stark.chips.gcm_data import GcmDataAir, gcm_data_trace
+    from ..stark.chips.stream_parser import (
+        StreamParserAir,
+        parser_sessions_from_replay,
+        parser_trace,
+    )
+    from ..stark.chips.xor_table import (
+        XorTableAir,
+        xor_table_trace,
+        xor_use_counts,
+    )
 
     chips = [sha256_instance(out.replay.sha256_recorder.events)]
     if out.replay.gcm_events:
-        chips.append(aes128_instance(out.replay.gcm_events))
-        chips.append(ghash_instance(out.replay.gcm_events))
-        chips.append(gcm_control_instance(out.replay.gcm_events))
+        events = out.replay.gcm_events
+        chips.append(aes128_instance(events))
+        chips.append(ghash_instance(events))
+        chips.append(gcm_control_instance(events, metas=out.gcm_metas,
+                                          v13=out.v13))
+        # stream binding chips (round 3): parser locates every record in
+        # the committed tape; the data chip xors plaintext and matches the
+        # journal's filtered ranges; the xor table serves the nibble xors
+        sessions = getattr(out, "parser_sessions", None)
+        if sessions is None:
+            sessions = [parser_sessions_from_replay(
+                out.stream, events, out.v13, obj=1)]
+        ptrace, _ = parser_trace(sessions)
+        chips.append(ChipInstance(air=StreamParserAir(), trace=ptrace,
+                                  publics=[]))
+        filtered = getattr(out, "filtered_mults", None)
+        if filtered is None:
+            filtered = _filtered_multiplicities(out.journal, obj=1)
+        dtrace, _, xor_pairs = gcm_data_trace(
+            out.gcm_metas, events, filtered=filtered)
+        chips.append(ChipInstance(air=GcmDataAir(), trace=dtrace,
+                                  publics=[]))
+        xtrace, _ = xor_table_trace(xor_use_counts(xor_pairs))
+        chips.append(ChipInstance(air=XorTableAir(), trace=xtrace,
+                                  publics=[]))
+        # keccak chip: the journal's request/response hashes over the
+        # bus-bound application-stream bytes
+        from ..stark.chips.keccak import KeccakAir, keccak_trace
+
+        streams = getattr(out, "keccak_streams", None)
+        if streams is None:
+            streams = [(1, 0, out.replay.request_plaintext),
+                       (1, 1, out.replay.response_plaintext)]
+        ktrace, _ = keccak_trace(streams)
+        chips.append(ChipInstance(air=KeccakAir(), trace=ktrace,
+                                  publics=[]))
     if out.modmul_events:
         chips.extend(modmul_instances(out.modmul_events))
     return chips
@@ -67,11 +125,20 @@ def _air_registry() -> dict:
         modmul_air_rsa,
     )
 
+    from ..stark.chips.gcm_data import GcmDataAir
+    from ..stark.chips.keccak import KeccakAir
+    from ..stark.chips.stream_parser import StreamParserAir
+    from ..stark.chips.xor_table import XorTableAir
+
     return {
+        "KeccakAir": KeccakAir,
         "Sha256Air": sha256_air,
         "Aes128Air": aes128_air,
         "GhashAir": ghash_air,
         "GcmControlAir": gcm_control_air,
+        "StreamParserAir": StreamParserAir,
+        "GcmDataAir": GcmDataAir,
+        "XorTableAir": XorTableAir,
         "ModMul256Air": modmul_air_256,
         "ModMul384Air": modmul_air_384,
         "ModMulRsa1024Air": lambda: modmul_air_rsa(1024),
@@ -99,7 +166,9 @@ def journal_airs(journal: bytes | list[bytes], proof: MachineProof) -> list:
     for jb in journals:
         j = decode_journal(jb)
         if j["gcm_records"]:
-            required |= {"Aes128Air", "GhashAir", "GcmControlAir"}
+            required |= {"Aes128Air", "GhashAir", "GcmControlAir",
+                         "StreamParserAir", "GcmDataAir", "XorTableAir",
+                         "KeccakAir"}
     names = {cp.name for cp in proof.chips}
     missing = required - names
     if missing:
@@ -117,15 +186,22 @@ def journal_airs(journal: bytes | list[bytes], proof: MachineProof) -> list:
     return airs
 
 
-def journal_public_messages(journal: bytes) -> list[tuple]:
+def journal_public_messages(journal: bytes, obj: int = 1,
+                            eid_off: int = 0) -> list[tuple]:
     """The verifier-side bus messages implied by a journal: it RECEIVES
     (mult −1) the SHA-chip's published digests — recomputing the journal
     digest itself, reading stream_sha256 from the journal — and SENDS
-    (mult +1) every GCM record header for the control chip to consume."""
+    (mult +1) every GCM record header for the control chip to consume and
+    every filtered-response byte for the GCM data chip to match against
+    decrypted plaintext.  The stream digest's payload carries the chain's
+    expose-blocks flag: GCM journals pin xb = 1, forcing the chain's
+    message blocks onto the bus where only the stream-parser chip can
+    consume them."""
     import hashlib
 
     from ..guest.journal import decode_journal
     from ..stark.bus import (
+        BUS_FILTERED,
         BUS_GCM_RECORD,
         BUS_SHA_RESULT,
         RESULT_TAG_JOURNAL,
@@ -136,17 +212,36 @@ def journal_public_messages(journal: bytes) -> list[tuple]:
     from ..stark.chips.gcm_control import parse_gcm_records
 
     j = decode_journal(journal)
+    has_gcm = bool(j["gcm_records"])
     msgs: list[tuple] = [
         (BUS_SHA_RESULT,
          [RESULT_TAG_JOURNAL]
-         + digest_limbs(hashlib.sha256(journal).digest()), -1),
+         + digest_limbs(hashlib.sha256(journal).digest()) + [0], -1),
         (BUS_SHA_RESULT,
-         [RESULT_TAG_STREAM] + digest_limbs(j["stream_sha256"]), -1),
+         [RESULT_TAG_STREAM] + digest_limbs(j["stream_sha256"])
+         + [1 if has_gcm else 0], -1),
     ]
     for rec in parse_gcm_records(j["gcm_records"]):
         msgs.append((BUS_GCM_RECORD,
-                     [rec["eid"]] + u16_limbs(rec["nonce"])
-                     + u16_limbs(rec["tag"]) + [rec["n_blocks"]], 1))
+                     [eid_off + rec["eid"]] + u16_limbs(rec["nonce"])
+                     + u16_limbs(rec["tag"])
+                     + [rec["n_blocks"], rec["ct_len"], rec["v13"],
+                        rec["is_resp"]], 1))
+    if has_gcm:
+        from ..stark.bus import BUS_HASH_RESULT, u16_limbs as _u16
+
+        for begin, length, content in zip(
+                j["filtered_begins"], j["filtered_lengths"],
+                j["filtered_contents"]):
+            for k in range(length):
+                msgs.append((BUS_FILTERED,
+                             [obj, 1, begin + k, content[k]], 1))
+        # the keccak chip publishes the journal's request/response hashes
+        # over the bus-bound application-stream bytes
+        msgs.append((BUS_HASH_RESULT,
+                     [obj, 0] + _u16(j["request_hash"]), -1))
+        msgs.append((BUS_HASH_RESULT,
+                     [obj, 1] + _u16(j["response_hash"]), -1))
     return msgs
 
 
@@ -161,6 +256,8 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
 
     from ..guest.crypto.sha256 import SHA256Recorder
 
+    from ..stark.chips.stream_parser import parser_sessions_from_replay
+
     if len(outs) == 1:
         return outs[0]
     merged = _copy.copy(outs[0])
@@ -169,42 +266,62 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
     sha_events = []
     gcm_events = []
     modmul_events = []
+    metas = []
+    sessions = []
+    filtered = []
+    kstreams = []
+    eid_off = 0
     for i, out in enumerate(outs):
         off = (i + 1) << 20
         for e in out.replay.sha256_recorder.events:
             e2 = _copy.copy(e)
-            e2.obj = e.obj + off
+            # stream-tape chains keep deterministic ids (session i →
+            # obj i+1, matching the verifier's filtered/bus derivation);
+            # everything else is offset for uniqueness
+            e2.obj = (i + 1) if e.expose_block else e.obj + off
             sha_events.append(e2)
+        if out.replay.gcm_events:
+            sessions.append(parser_sessions_from_replay(
+                out.stream, out.replay.gcm_events, out.v13, obj=i + 1,
+                eid_off=eid_off))
+            kstreams.append((i + 1, 0, out.replay.request_plaintext))
+            kstreams.append((i + 1, 1, out.replay.response_plaintext))
+            for m in out.gcm_metas:
+                m2 = _copy.copy(m)
+                m2.eid = m.eid + eid_off
+                m2.obj = i + 1
+                metas.append(m2)
+            filtered.extend(_filtered_multiplicities(out.journal,
+                                                     obj=i + 1))
         gcm_events.extend(out.replay.gcm_events)
+        eid_off += len(out.replay.gcm_events)
         modmul_events.extend(out.modmul_events)
     rec.events = sha_events
     merged.replay.sha256_recorder = rec
     merged.replay.gcm_events = gcm_events
     merged.modmul_events = modmul_events
+    merged.gcm_metas = metas
+    merged.parser_sessions = sessions
+    merged.filtered_mults = filtered
+    merged.keccak_streams = kstreams
     return merged
 
 
 def batch_public_messages(journals: list[bytes]) -> list[tuple]:
     """Verifier-side bus messages for a session batch: per-journal SHA
-    results, and GCM record headers with event ids renumbered by the
-    global session-order enumeration."""
+    results, GCM record headers with event ids renumbered by the global
+    session-order enumeration, and filtered bytes under the session's
+    stream object id (i + 1)."""
     from ..guest.journal import decode_journal
-    from ..stark.bus import BUS_GCM_RECORD, u16_limbs
-    from ..stark.chips.gcm_control import parse_gcm_records
+    from ..stark.chips.gcm_control import GCM_RECORD_SIZE
 
     msgs: list[tuple] = []
     eid_off = 0
-    for journal in journals:
-        for tag, payload, mult in journal_public_messages(journal):
-            if tag == BUS_GCM_RECORD:
-                continue
-            msgs.append((tag, payload, mult))
+    for i, journal in enumerate(journals):
+        msgs += journal_public_messages(journal, obj=i + 1,
+                                        eid_off=eid_off)
         j = decode_journal(journal)
-        for rec in parse_gcm_records(j["gcm_records"]):
-            msgs.append((BUS_GCM_RECORD,
-                         [eid_off + rec["eid"]] + u16_limbs(rec["nonce"])
-                         + u16_limbs(rec["tag"]) + [rec["n_blocks"]], 1))
-        eid_off += len(j["gcm_records"]) // 32
+        eid_off += len(j["gcm_records"]) // GCM_RECORD_SIZE
     return msgs
 
 

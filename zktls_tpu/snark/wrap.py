@@ -26,10 +26,17 @@ from .groth16 import Groth16Keys, Groth16Proof, prove, setup, verify
 from .r1cs import R1CS
 
 __all__ = ["mimc_hash", "journal_digest_fr", "build_wrap_circuit",
-           "wrap_setup", "wrap_prove", "wrap_verify", "CHUNK_BYTES"]
+           "wrap_setup", "wrap_prove", "wrap_verify", "CHUNK_BYTES",
+           "MAX_CHUNKS", "MIMC_ROUND_CONSTANTS"]
 
 N_ROUNDS = 110
 CHUNK_BYTES = 31  # field elements hold 31 journal bytes (< r)
+#: fixed circuit size: every journal pads (with zero chunks before the
+#: length chunk) to this many chunks, so ONE trusted setup / verifying
+#: key / exported contract covers every journal up to
+#: (MAX_CHUNKS − 1) · 31 = 1457 bytes (the fixture journal is 1088 B;
+#: VERDICT round-2 weak #7 — one vk for all journals)
+MAX_CHUNKS = 48
 
 
 def _round_constants() -> list[int]:
@@ -59,8 +66,16 @@ def mimc_hash(chunks: list[int]) -> int:
 
 
 def journal_chunks(journal: bytes) -> list[int]:
-    return [int.from_bytes(journal[i : i + CHUNK_BYTES], "big")
-            for i in range(0, len(journal), CHUNK_BYTES)] + [len(journal)]
+    """Fixed-length chunking: data chunks, zero padding, then the length
+    chunk — injective for journals up to (MAX_CHUNKS−1)·31 bytes."""
+    n = (len(journal) + CHUNK_BYTES - 1) // CHUNK_BYTES
+    if n > MAX_CHUNKS - 1:
+        raise ValueError(
+            f"journal too long for the wrap circuit "
+            f"({len(journal)} B > {(MAX_CHUNKS - 1) * CHUNK_BYTES})")
+    data = [int.from_bytes(journal[i : i + CHUNK_BYTES], "big")
+            for i in range(0, len(journal), CHUNK_BYTES)]
+    return data + [0] * (MAX_CHUNKS - 1 - n) + [len(journal)]
 
 
 def journal_digest_fr(journal: bytes) -> int:
@@ -109,12 +124,16 @@ def build_wrap_circuit(journal: bytes) -> R1CS:
     return cs
 
 
-def wrap_setup(journal_len_chunks: int, seed: bytes = b"zktls-wrap-v1"
-               ) -> Groth16Keys:
-    """CRS for a fixed chunk count (journals pad to the chunk count via
-    the length chunk; different lengths need their own CRS)."""
-    dummy = b"\x00" * ((journal_len_chunks - 1) * CHUNK_BYTES)
-    return setup(build_wrap_circuit(dummy), seed=seed)
+#: MiMC round constants, exported for the on-chain digest computation
+MIMC_ROUND_CONSTANTS = _RC
+
+
+def wrap_setup(journal_len_chunks: int | None = None,
+               seed: bytes = b"zktls-wrap-v1") -> Groth16Keys:
+    """ONE CRS for all journals: the circuit is fixed at MAX_CHUNKS
+    (the legacy journal_len_chunks argument is accepted and ignored —
+    padding makes every journal fit the same circuit)."""
+    return setup(build_wrap_circuit(b""), seed=seed)
 
 
 def wrap_prove(keys: Groth16Keys, journal: bytes) -> tuple[int, bytes]:

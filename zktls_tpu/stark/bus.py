@@ -31,7 +31,8 @@ __all__ = [
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
     "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
-    "BUS_TAG_BYTE", "BUS_XOR", "BUS_FILTERED",
+    "BUS_TAG_BYTE", "BUS_XOR", "BUS_FILTERED", "BUS_HASH_BYTE",
+    "BUS_HASH_RESULT",
     "RESULT_TAG_JOURNAL", "RESULT_TAG_STREAM",
     "MAX_PAYLOAD", "NUM_MACHINE_CHALLENGES",
     "bus_fingerprint", "bus_term", "delta_powers",
@@ -97,11 +98,17 @@ BUS_TAG_BYTE = 0x111
 #: (x, y, x^y) over 4-bit nibbles — the xor lookup table chip's rows,
 #: consumed by the GCM data chip's plaintext = ct ⊕ keystream checks.
 BUS_XOR = 0x112
-#: (obj, pos, byte) — one journal filtered-response byte at response
+#: (obj, dir, pos, byte) — one journal filtered-response byte at response
 #: position pos (sent by the VERIFIER from public journal data; obj is the
-#: session's stream hash-object id), received by the GCM data chip at the
-#: matching plaintext byte.
+#: session's stream hash-object id, dir = 1), received by the GCM data
+#: chip at the matching plaintext byte.
 BUS_FILTERED = 0x113
+#: (obj, dir, pos, byte) — one application-stream plaintext byte (dir 0 =
+#: request, 1 = response), GCM data chip → keccak chip.
+BUS_HASH_BYTE = 0x114
+#: (obj, dir, digest 16×u16) — keccak256 of an application stream,
+#: keccak chip → verifier (the journal's request_hash / response_hash).
+BUS_HASH_RESULT = 0x115
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes

@@ -1,5 +1,6 @@
 """GCM control AIR chip — the per-record accounting table that glues the
-AES-128 and GHASH chips to the journal's record headers.
+AES-128, GHASH, stream-parser and GCM-data chips to the journal's record
+headers.
 
 The reference proves AES-GCM record decryption as straight-line guest code
 whose control flow is part of the proven execution (SURVEY.md §3.4); here
@@ -7,25 +8,36 @@ the equivalent wiring is explicit bus messages (stark/bus.py):
 
   row types per GCM event (one decrypted record):
     header row (rt0): RECEIVES the journal's record header
-        (BUS_GCM_RECORD: eid, nonce, tag, n_blocks) — sent by the VERIFIER
-        from public journal data — and the AES encryption of the zero
-        block (BUS_AES_ENC with input 0 → output H), then SENDS the GHASH
-        key H (BUS_GCM_H) to the GHASH chip, and RECEIVES the tag the
-        GHASH chip computed (BUS_GCM_TAG) against the journal's tag.
+        (BUS_GCM_RECORD: eid, nonce, tag, n_blocks, ct_len, v13, is_resp —
+        sent by the VERIFIER from public journal data), the parser's view
+        of the same record (BUS_PARSE_REC: eid, seqno, rectype, ct_len,
+        v13, is_resp — proving a record with this metadata sits in the
+        committed stream), the parser's explicit-nonce bytes
+        (BUS_NONCE_BYTE ×8, TLS 1.2 — pinning nonce[4:12] to stream
+        bytes), the parser's tag bytes (BUS_TAG_BYTE ×16 — pinning the
+        journal tag to stream bytes), the AES encryption of the zero
+        block (BUS_AES_ENC with input 0 → output H), and the tag the
+        GHASH chip computed (BUS_GCM_TAG).  It SENDS the GHASH key H
+        (BUS_GCM_H), the AAD block it reconstructs from
+        (seqno, rectype, ct_len, v13) per RFC 5246 §6.2.3.3 / RFC 8446
+        §5.2 (BUS_GCM_AAD), and the GHASH length block
+        aad_bits ‖ ct_bits (BUS_GCM_LEN).
     J0 row (rt1): RECEIVES E_K(J0) (BUS_AES_ENC, input = nonce‖1) and
         SENDS it as the tag-whitening mask (BUS_GCM_MASK) to GHASH.
     counter rows: RECEIVE one keystream block each (BUS_AES_ENC with
         input = the 32-bit-incremented counter — increment constrained
-        in-chip), counted against the header's n_blocks.
+        in-chip), counted against the header's n_blocks =
+        ceil(ct_len/16), and SEND it to the GCM data chip (BUS_GCM_KS)
+        for the plaintext xor.
 
-So: the journal pins (nonce, tag, n_blocks) per record; the AES chip pins
-key/input/output of every block encryption; GHASH pins S and tag = S ⊕
-mask.  Tampering any AES counter block, the GHASH key, the mask, the tag,
-or any journal record field breaks the global bus balance.
+So the journal pins (nonce, tag, n_blocks, ct_len, flags) per record; the
+parser pins the same record's location and bytes inside the committed
+stream; the AES chip pins key/input/output of every block encryption;
+GHASH pins the tag over exactly (AAD ‖ located ciphertext ‖ length).
+Tampering any of it breaks the global bus balance.
 
-Remaining gap (round-3, with the record-parser chip): binding the
-ciphertext blocks entering GHASH and the plaintext bytes to the committed
-TLS stream — today those are constrained only through the tag equation.
+Remaining 1.3 gap (documented): the per-record nonce = static_iv ⊕ seq
+derivation is journal-pinned but not yet tied to the key schedule.
 """
 
 from __future__ import annotations
@@ -35,10 +47,16 @@ import numpy as np
 from ..air import Air, AirBuilder
 from ..bus import (
     BUS_AES_ENC,
+    BUS_GCM_AAD,
     BUS_GCM_H,
+    BUS_GCM_KS,
+    BUS_GCM_LEN,
     BUS_GCM_MASK,
     BUS_GCM_RECORD,
     BUS_GCM_TAG,
+    BUS_NONCE_BYTE,
+    BUS_PARSE_REC,
+    BUS_TAG_BYTE,
     np_bus_inverse_terms,
 )
 from ..ext_val import ExtVal
@@ -48,9 +66,10 @@ __all__ = ["GcmControlAir", "gcm_control_trace", "pack_gcm_records",
 
 P = 2013265921
 
-#: journal wire format of one record header:
-#: u16 eid ‖ 12-byte nonce ‖ 16-byte tag ‖ u16 n_blocks
-GCM_RECORD_SIZE = 32
+#: journal wire format of one record header: u16 eid ‖ 12-byte nonce ‖
+#: 16-byte tag ‖ u16 n_blocks ‖ u16 ct_len ‖ u8 flags (bit0 = TLS 1.3,
+#: bit1 = is_resp) ‖ u8 pad
+GCM_RECORD_SIZE = 36
 
 
 class _Layout:
@@ -85,6 +104,23 @@ def _build_layout() -> _Layout:
     L.add("cnt", 1)      # running counter-row count
     L.add("c0", 1)       # inc32 carry bits (into this row's ctr)
     L.add("c1", 1)
+    # --- round-3 record metadata (event-constant) ---
+    L.add("seqv", 1)     # per-direction AEAD record sequence (from parser)
+    L.add("rtyp", 1)     # outer record type (from parser)
+    L.add("v13", 1)      # TLS 1.3 flag (journal + parser agree)
+    L.add("isr", 1)      # is_resp flag (journal + parser agree)
+    L.add("ctlen", 1)    # ciphertext length
+    L.add("clb", 16)     # ctlen bits
+    L.add("l13b", 16)    # (ctlen + 16) bits — the 1.3 AAD length field
+    L.add("rpad", 4)     # 16·nblocks − ctlen ∈ [0, 16)
+    L.add("nbb", 8)      # nblocks bits
+    L.add("nb", 64)      # explicit-nonce byte bits (8 bytes × 8)
+    L.add("tb", 128)     # tag byte bits (16 bytes × 8)
+    # materialized gates (degree control)
+    L.add("g_hdr", 1)    # rt0·live
+    L.add("g_nv", 1)     # rt0·live·(1−v13)
+    L.add("g_j0", 1)     # rt1·live
+    L.add("g_ctr", 1)    # (1−rt0−rt1)·live
     return L
 
 
@@ -95,8 +131,9 @@ class GcmControlAir(Air):
     width = LAYOUT.width
     num_public = 0
     max_constraint_degree = 3
-    #: inv_aes ‖ inv_h ‖ inv_mask ‖ inv_rec ‖ inv_tag ‖ u ‖ acc
-    perm_width = 28
+    #: inv_aes ‖ inv_h ‖ inv_mask ‖ inv_rec ‖ inv_tag ‖ inv_prec ‖ inv_aad
+    #: ‖ inv_len ‖ inv_ks ‖ inv_nb×8 ‖ inv_tb×16 ‖ u ‖ acc
+    perm_width = 4 * (9 + 8 + 16 + 2)
     num_perm_challenges = 2
     has_bus = True
 
@@ -111,8 +148,13 @@ class GcmControlAir(Air):
 
         rt0, rt1, live = loc("rt0"), loc("rt1"), loc("live")
         nrt0, nrt1 = nxt("rt0"), nxt("rt1")
-        for c in (rt0, rt1, live, loc("c0"), loc("c1")):
+        for c in (rt0, rt1, live, loc("c0"), loc("c1"), loc("v13"),
+                  loc("isr")):
             b.assert_bool(c)
+        for name, k in (("clb", 16), ("l13b", 16), ("rpad", 4), ("nbb", 8),
+                        ("nb", 64), ("tb", 128)):
+            grp = b.local_group(L[name])
+            b.assert_zero_vec(grp * (grp - 1), k)
         b.assert_zero(rt0 * rt1)
         # row sequencing: header → J0; J0 only after a header
         b.when_transition(rt0 * (1 - nrt1))
@@ -122,12 +164,23 @@ class GcmControlAir(Air):
         # event-constant columns (free only across a header boundary);
         # degree 3: is_transition · (1 − rt0') · Δ
         ev_const = [("eid", 1), ("key", 8), ("tag", 8), ("nonce", 6),
-                    ("nblocks", 1), ("live", 1)]
+                    ("nblocks", 1), ("live", 1), ("seqv", 1), ("rtyp", 1),
+                    ("v13", 1), ("isr", 1), ("ctlen", 1), ("clb", 16),
+                    ("l13b", 16), ("rpad", 4), ("nbb", 8), ("nb", 64),
+                    ("tb", 128)]
         for name, k in ev_const:
             grp = b.local_group(L[name])
             ngrp = b.next_group(L[name])
             b.assert_zero_vec(b.is_transition * ((1 - nrt0) * (ngrp - grp)),
                               k)
+
+        # materialized gates
+        b.assert_zero(loc("g_hdr") - rt0 * live)
+        b.assert_zero(loc("g_nv") - loc("g_hdr") * (1 - loc("v13")))
+        b.assert_zero(loc("g_j0") - rt1 * live)
+        b.assert_zero(loc("g_ctr") - (1 - rt0 - rt1) * live)
+        g_hdr, g_nv, g_j0, g_ctr = (loc("g_hdr"), loc("g_nv"),
+                                    loc("g_j0"), loc("g_ctr"))
 
         # header row: AES input is the zero block
         for j in range(8):
@@ -154,6 +207,35 @@ class GcmControlAir(Air):
         b.when_transition(nrt0 * (loc("cnt") - loc("nblocks")))
         b.when_last_row(loc("cnt") - loc("nblocks"))
 
+        # --- record-metadata consistency (header rows) ---
+        POW = [1 << i for i in range(16)]
+        ctlen = loc("ctlen")
+        clen_v = b.dot_const(b.local_group(L["clb"]), POW)
+        l13_v = b.dot_const(b.local_group(L["l13b"]), POW)
+        rpad_v = b.dot_const(b.local_group(L["rpad"]), POW[:4])
+        nbb_v = b.dot_const(b.local_group(L["nbb"]), POW[:8])
+        b.assert_zero(rt0 * (ctlen - clen_v))
+        b.assert_zero(rt0 * (l13_v - ctlen - 16))
+        b.assert_zero(rt0 * (16 * loc("nblocks") - ctlen - rpad_v))
+        b.assert_zero(rt0 * (loc("nblocks") - nbb_v))
+
+        def nbyte(j):
+            sl = slice(L["nb"].start + 8 * j, L["nb"].start + 8 * j + 8)
+            return b.dot_const(b.local_group(sl), POW[:8])
+
+        def tbyte(j):
+            sl = slice(L["tb"].start + 8 * j, L["tb"].start + 8 * j + 8)
+            return b.dot_const(b.local_group(sl), POW[:8])
+
+        # explicit nonce bytes = journal nonce[4:12] (TLS 1.2 only)
+        for q in range(4):
+            b.assert_zero(g_nv * (loc("nonce", 2 + q)
+                                  - 256 * nbyte(2 * q) - nbyte(2 * q + 1)))
+        # tag bytes = journal tag limbs
+        for q in range(8):
+            b.assert_zero(rt0 * (loc("tag", q)
+                                 - 256 * tbyte(2 * q) - tbyte(2 * q + 1)))
+
         # --- bus messages ---
         gamma = b.challenges[0]
 
@@ -161,6 +243,7 @@ class GcmControlAir(Air):
             return b.challenges[1 + i]
 
         eid = loc("eid")
+        v13 = loc("v13")
         fp_aes = ExtVal.from_base(BUS_AES_ENC) + dpow(0) * eid
         fp_h = ExtVal.from_base(BUS_GCM_H) + dpow(0) * eid
         fp_mask = ExtVal.from_base(BUS_GCM_MASK) + dpow(0) * eid
@@ -175,26 +258,99 @@ class GcmControlAir(Air):
             fp_rec = fp_rec + dpow(7 + j) * loc("tag", j)
         for j in range(6):
             fp_rec = fp_rec + dpow(1 + j) * loc("nonce", j)
-        fp_rec = fp_rec + dpow(15) * loc("nblocks")
+        fp_rec = fp_rec + dpow(15) * loc("nblocks") + dpow(16) * ctlen \
+            + dpow(17) * v13 + dpow(18) * loc("isr")
+        fp_prec = (ExtVal.from_base(BUS_PARSE_REC) + dpow(0) * eid
+                   + dpow(1) * loc("seqv") + dpow(2) * loc("rtyp")
+                   + dpow(3) * ctlen + dpow(4) * v13 + dpow(5) * loc("isr"))
+        # AAD block reconstruction (RFC 5246 §6.2.3.3 / RFC 8446 §5.2)
+        lh12 = b.dot_const(
+            b.local_group(slice(L["clb"].start + 8, L["clb"].start + 16)),
+            POW[:8])
+        ll12 = b.dot_const(
+            b.local_group(slice(L["clb"].start, L["clb"].start + 8)),
+            POW[:8])
+        lh13 = b.dot_const(
+            b.local_group(slice(L["l13b"].start + 8, L["l13b"].start + 16)),
+            POW[:8])
+        ll13 = b.dot_const(
+            b.local_group(slice(L["l13b"].start, L["l13b"].start + 8)),
+            POW[:8])
+        aad = [
+            v13 * 0x1703,
+            v13 * (768 + lh13),
+            v13 * 256 * ll13,
+            (1 - v13) * loc("seqv"),
+            (1 - v13) * (256 * loc("rtyp") + 3),
+            (1 - v13) * (768 + lh12),
+            (1 - v13) * 256 * ll12,
+        ]
+        fp_aad = ExtVal.from_base(BUS_GCM_AAD) + dpow(0) * eid
+        for j, limb in enumerate(aad):
+            fp_aad = fp_aad + dpow(1 + j) * limb
+        # GHASH length block: aad_bits (104 / 40) ‖ ct_bits (ctlen·8)
+        len6 = b.dot_const(
+            b.local_group(slice(L["clb"].start + 13, L["clb"].start + 16)),
+            [1, 2, 4])
+        len7 = b.dot_const(
+            b.local_group(slice(L["clb"].start, L["clb"].start + 13)),
+            [8 << i for i in range(13)])
+        fp_len = (ExtVal.from_base(BUS_GCM_LEN) + dpow(0) * eid
+                  + dpow(4) * (104 - 64 * v13)
+                  + dpow(7) * len6 + dpow(8) * len7)
+        fp_ks = (ExtVal.from_base(BUS_GCM_KS) + dpow(0) * eid
+                 + dpow(1) * loc("cnt"))
+        for j in range(8):
+            fp_ks = fp_ks + dpow(2 + j) * loc("out", j)
 
         inv_aes = b.perm_ext(0)
         inv_h = b.perm_ext(1)
         inv_mask = b.perm_ext(2)
         inv_rec = b.perm_ext(3)
         inv_tag = b.perm_ext(4)
-        u = b.perm_ext(5)
-        acc = b.perm_ext(6)
-        u_n = b.perm_ext(5, nxt=True)
-        acc_n = b.perm_ext(6, nxt=True)
+        inv_prec = b.perm_ext(5)
+        inv_aad = b.perm_ext(6)
+        inv_len = b.perm_ext(7)
+        inv_ks = b.perm_ext(8)
         b.assert_ext_zero(inv_aes * (gamma - fp_aes) - 1)
         b.assert_ext_zero(inv_h * (gamma - fp_h) - 1)
         b.assert_ext_zero(inv_mask * (gamma - fp_mask) - 1)
         b.assert_ext_zero(inv_rec * (gamma - fp_rec) - 1)
         b.assert_ext_zero(inv_tag * (gamma - fp_tag) - 1)
-        # receives: every live row one AES block; header row the journal
-        # record + the GHASH tag.  sends: H (header), mask (J0 row).
-        u_def = ((inv_h - inv_rec - inv_tag) * rt0 + inv_mask * rt1) * 1
-        u_def = (u_def - inv_aes) * live
+        b.assert_ext_zero(inv_prec * (gamma - fp_prec) - 1)
+        b.assert_ext_zero(inv_aad * (gamma - fp_aad) - 1)
+        b.assert_ext_zero(inv_len * (gamma - fp_len) - 1)
+        b.assert_ext_zero(inv_ks * (gamma - fp_ks) - 1)
+        inv_nb = []
+        inv_tb = []
+        for j in range(8):
+            iv = b.perm_ext(9 + j)
+            fp = (ExtVal.from_base(BUS_NONCE_BYTE) + dpow(0) * eid
+                  + dpow(1) * (7 - j) + dpow(2) * nbyte(j))
+            b.assert_ext_zero(iv * (gamma - fp) - 1)
+            inv_nb.append(iv)
+        for j in range(16):
+            iv = b.perm_ext(17 + j)
+            fp = (ExtVal.from_base(BUS_TAG_BYTE) + dpow(0) * eid
+                  + dpow(1) * (15 - j) + dpow(2) * tbyte(j))
+            b.assert_ext_zero(iv * (gamma - fp) - 1)
+            inv_tb.append(iv)
+
+        u = b.perm_ext(33)
+        acc = b.perm_ext(34)
+        u_n = b.perm_ext(33, nxt=True)
+        acc_n = b.perm_ext(34, nxt=True)
+        # header: sends H/AAD/LEN, receives journal record + GHASH tag +
+        # parser record + parser tag bytes (+ nonce bytes when TLS 1.2);
+        # J0 row: sends mask; counter rows: send keystream; every live
+        # row receives its AES block
+        u_def = ((inv_h + inv_aad + inv_len - inv_rec - inv_tag - inv_prec)
+                 * g_hdr + inv_mask * g_j0 + inv_ks * g_ctr
+                 - inv_aes * live)
+        for iv in inv_tb:
+            u_def = u_def - iv * g_hdr
+        for iv in inv_nb:
+            u_def = u_def - iv * g_nv
         b.assert_ext_zero(u - u_def)
         b.assert_ext_zero((acc - u) * b.is_first_row)
         b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
@@ -210,9 +366,17 @@ class GcmControlAir(Air):
         def cols(name):
             return main[:, L[name]].astype(np.uint64)
 
+        def col1(name):
+            return main[:, L[name].start].astype(np.uint64)
+
         eid = cols("eid")
         key, ctr, out = cols("key"), cols("ctr"), cols("out")
         tag, nonce, nblocks = cols("tag"), cols("nonce"), cols("nblocks")
+        seqv, rtyp = col1("seqv"), col1("rtyp")
+        v13, isr, ctlen = col1("v13"), col1("isr"), col1("ctlen")
+        cnt = col1("cnt")
+        clb, l13b = cols("clb"), cols("l13b")
+        nbits, tbits = cols("nb"), cols("tb")
         inv_aes = np_bus_inverse_terms(
             challenges, BUS_AES_ENC,
             np.concatenate([eid, key, ctr, out], axis=1))
@@ -220,23 +384,78 @@ class GcmControlAir(Air):
             challenges, BUS_GCM_H, np.concatenate([eid, out], axis=1))
         inv_mask = np_bus_inverse_terms(
             challenges, BUS_GCM_MASK, np.concatenate([eid, out], axis=1))
-        inv_rec = np_bus_inverse_terms(
-            challenges, BUS_GCM_RECORD,
-            np.concatenate([eid, nonce, tag, nblocks], axis=1))
+        rec_pl = np.concatenate(
+            [eid, nonce, tag, nblocks, ctlen[:, None], v13[:, None],
+             isr[:, None]], axis=1)
+        inv_rec = np_bus_inverse_terms(challenges, BUS_GCM_RECORD, rec_pl)
         inv_tag = np_bus_inverse_terms(
             challenges, BUS_GCM_TAG, np.concatenate([eid, tag], axis=1))
+        inv_prec = np_bus_inverse_terms(
+            challenges, BUS_PARSE_REC, np.stack(
+                [eid[:, 0], seqv, rtyp, ctlen, v13, isr], axis=1))
+        POW = np.array([1 << i for i in range(16)], dtype=np.uint64)
+        lh12 = (clb[:, 8:16] * POW[:8]).sum(axis=1) % P
+        ll12 = (clb[:, 0:8] * POW[:8]).sum(axis=1) % P
+        lh13 = (l13b[:, 8:16] * POW[:8]).sum(axis=1) % P
+        ll13 = (l13b[:, 0:8] * POW[:8]).sum(axis=1) % P
+        zero = np.zeros(n, dtype=np.uint64)
+        aad = np.stack([
+            v13 * 0x1703,
+            v13 * (768 + lh13) % P,
+            v13 * 256 * ll13 % P,
+            (1 - v13) * seqv % P,
+            (1 - v13) * (256 * rtyp + 3) % P,
+            (1 - v13) * (768 + lh12) % P,
+            (1 - v13) * 256 * ll12 % P,
+        ], axis=1)
+        inv_aad = np_bus_inverse_terms(
+            challenges, BUS_GCM_AAD, np.concatenate([eid, aad], axis=1))
+        len6 = (clb[:, 13:16] * POW[:3]).sum(axis=1) % P
+        len7 = (clb[:, 0:13] * (POW[:13] * 8)).sum(axis=1) % P
+        len_pl = np.stack([eid[:, 0], zero, zero, zero,
+                           (104 - 64 * v13) % P, zero, zero, len6, len7],
+                          axis=1)
+        inv_len = np_bus_inverse_terms(challenges, BUS_GCM_LEN, len_pl)
+        inv_ks = np_bus_inverse_terms(
+            challenges, BUS_GCM_KS,
+            np.concatenate([eid, cnt[:, None], out], axis=1))
+        nb_list, tb_list = [], []
+        for j in range(8):
+            byte = (nbits[:, 8 * j : 8 * j + 8] * POW[:8]).sum(axis=1) % P
+            nb_list.append(np_bus_inverse_terms(
+                challenges, BUS_NONCE_BYTE, np.stack(
+                    [eid[:, 0], np.full(n, 7 - j, dtype=np.uint64), byte],
+                    axis=1)))
+        for j in range(16):
+            byte = (tbits[:, 8 * j : 8 * j + 8] * POW[:8]).sum(axis=1) % P
+            tb_list.append(np_bus_inverse_terms(
+                challenges, BUS_TAG_BYTE, np.stack(
+                    [eid[:, 0], np.full(n, 15 - j, dtype=np.uint64), byte],
+                    axis=1)))
         rt0 = cols("rt0")
         rt1 = cols("rt1")
         live = cols("live")
-        u = (inv_h.astype(np.uint64)
-             + 2 * P - inv_rec.astype(np.uint64)
-             - inv_tag.astype(np.uint64)) % P
-        u = (u * rt0 + inv_mask.astype(np.uint64) * rt1) % P
-        u = ((u + P - inv_aes.astype(np.uint64)) % P) * live % P
+        g_hdr = rt0 * live
+        g_nv = g_hdr * (1 - v13[:, None])
+        g_j0 = rt1 * live
+        g_ctr = (1 - rt0 - rt1) * live
+        pos = ((inv_h.astype(np.uint64) + inv_aad.astype(np.uint64)
+                + inv_len.astype(np.uint64)) % P * g_hdr
+               + inv_mask.astype(np.uint64) * g_j0
+               + inv_ks.astype(np.uint64) * g_ctr) % P
+        neg = ((inv_rec.astype(np.uint64) + inv_tag.astype(np.uint64)
+                + inv_prec.astype(np.uint64)) % P * g_hdr
+               + inv_aes.astype(np.uint64) * live) % P
+        for iv in tb_list:
+            neg = (neg + iv.astype(np.uint64) * g_hdr) % P
+        for iv in nb_list:
+            neg = (neg + iv.astype(np.uint64) * g_nv) % P
+        u = (pos + P - neg) % P
         acc = np.cumsum(u, axis=0) % P
         return np.concatenate(
-            [inv_aes, inv_h, inv_mask, inv_rec, inv_tag, u, acc], axis=1
-        ).astype(np.uint32)
+            [inv_aes, inv_h, inv_mask, inv_rec, inv_tag, inv_prec,
+             inv_aad, inv_len, inv_ks] + nb_list + tb_list + [u, acc],
+            axis=1).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -249,14 +468,24 @@ def _limbs(data: bytes) -> list[int]:
             for i in range(0, len(data), 2)]
 
 
-def pack_gcm_records(events) -> bytes:
-    """Journal wire format of the record headers: 32 bytes per event
-    (u16 eid ‖ nonce ‖ tag ‖ u16 n_blocks)."""
+def pack_gcm_records(events, metas=None, v13: bool = False) -> bytes:
+    """Journal wire format of the record headers: 36 bytes per event
+    (u16 eid ‖ nonce ‖ tag ‖ u16 n_blocks ‖ u16 ct_len ‖ u8 flags ‖ pad).
+    metas: GcmRecordMeta list (record_walk) supplying is_resp per eid;
+    without it flags carry only the version bit."""
+    resp, mv13 = {}, {}
+    if metas is not None:
+        for m in metas:
+            resp[m.eid] = m.is_resp
+            mv13[m.eid] = getattr(m, "v13", 1 if v13 else 0)
     out = bytearray()
     for eid, ev in enumerate(events):
         n_blocks = len(ev.counter_blocks)
+        flags = (mv13.get(eid, 1 if v13 else 0)) | (2 if resp.get(eid) else 0)
         out += eid.to_bytes(2, "big") + ev.nonce + ev.tag \
-            + n_blocks.to_bytes(2, "big")
+            + n_blocks.to_bytes(2, "big") \
+            + len(ev.ciphertext).to_bytes(2, "big") \
+            + bytes([flags, 0])
     return bytes(out)
 
 
@@ -271,24 +500,42 @@ def parse_gcm_records(data: bytes) -> list[dict]:
             "nonce": rec[2:14],
             "tag": rec[14:30],
             "n_blocks": int.from_bytes(rec[30:32], "big"),
+            "ct_len": int.from_bytes(rec[32:34], "big"),
+            "v13": rec[34] & 1,
+            "is_resp": (rec[34] >> 1) & 1,
         })
     return out
 
 
-def gcm_control_trace(events, min_log_n: int = 6):
-    """Build the control trace from recorded GCMEvents (eid = list index).
+def gcm_control_trace(events, metas=None, v13: bool = False,
+                      min_log_n: int = 6):
+    """Build the control trace from recorded GCMEvents (eid = list index)
+    and the parser-side record metadata (GcmRecordMeta list).
     Returns (trace (n, width) uint32, [])."""
     if not events:
         raise ValueError("need at least one event")
     L = LAYOUT
+    meta_by_eid = {}
+    if metas is not None:
+        for m in metas:
+            meta_by_eid[m.eid] = m
     rows: list[dict] = []
     for eid, ev in enumerate(events):
         key_l = _limbs(ev.key)
         tag_l = _limbs(ev.tag)
         nonce_l = _limbs(ev.nonce)
         nb = len(ev.counter_blocks)
+        m = meta_by_eid.get(eid)
         base = dict(eid=eid, key=key_l, tag=tag_l, nonce=nonce_l,
-                    nblocks=nb, live=1)
+                    nblocks=nb, live=1,
+                    seqv=m.seqno if m else 0,
+                    rtyp=m.rectype if m else 0,
+                    v13=getattr(m, "v13", 1 if v13 else 0) if m
+                        else (1 if v13 else 0),
+                    isr=m.is_resp if m else 0,
+                    ctlen=len(ev.ciphertext),
+                    nonce_bytes=ev.nonce[4:12],
+                    tag_bytes=ev.tag)
         rows.append(dict(base, rt0=1, rt1=0, cnt=0,
                          ctr=[0] * 8, out=_limbs(ev.h_block)))
         j0 = ev.nonce + b"\x00\x00\x00\x01"
@@ -308,20 +555,21 @@ def gcm_control_trace(events, min_log_n: int = 6):
     for i in range(pad):
         ctr_l = [0] * 6 + [i >> 16, i & 0xFFFF]
         c0 = 1 if i and (i - 1) & 0xFFFF == 0xFFFF else 0
+        nbl = max(pad - 1, 0)
         pad_rows.append(dict(eid=0, key=[0] * 8, tag=[0] * 8,
-                             nonce=[0] * 6, nblocks=max(pad - 1, 0),
+                             nonce=[0] * 6, nblocks=nbl,
                              live=0, rt0=0, rt1=0, cnt=i,
-                             ctr=ctr_l, out=[0] * 8, c0=c0, c1=0))
+                             ctr=ctr_l, out=[0] * 8, c0=c0, c1=0,
+                             seqv=0, rtyp=0, v13=0, isr=0, ctlen=0,
+                             nonce_bytes=b"\x00" * 8,
+                             tag_bytes=b"\x00" * 16))
     rows = pad_rows + rows
 
     trace = np.zeros((n, L.width), dtype=np.uint32)
     for r, row in enumerate(rows):
-        trace[r, L["rt0"].start] = row["rt0"]
-        trace[r, L["rt1"].start] = row["rt1"]
-        trace[r, L["live"].start] = row["live"]
-        trace[r, L["eid"].start] = row["eid"]
-        trace[r, L["nblocks"].start] = row["nblocks"]
-        trace[r, L["cnt"].start] = row["cnt"]
+        for nm in ("rt0", "rt1", "live", "eid", "nblocks", "cnt", "seqv",
+                   "rtyp", "v13", "isr", "ctlen"):
+            trace[r, L[nm].start] = row[nm]
         for j in range(8):
             trace[r, L["key"].start + j] = row["key"][j]
             trace[r, L["ctr"].start + j] = row["ctr"][j]
@@ -329,6 +577,30 @@ def gcm_control_trace(events, min_log_n: int = 6):
             trace[r, L["tag"].start + j] = row["tag"][j]
         for j in range(6):
             trace[r, L["nonce"].start + j] = row["nonce"][j]
+        ctlen = row["ctlen"]
+        l13 = ctlen + 16
+        rpad = 16 * row["nblocks"] - ctlen
+        if not (0 <= rpad < 16) and row["live"]:
+            raise ValueError("n_blocks != ceil(ct_len/16)")
+        for k in range(16):
+            trace[r, L["clb"].start + k] = (ctlen >> k) & 1
+            trace[r, L["l13b"].start + k] = (l13 >> k) & 1
+        for k in range(4):
+            trace[r, L["rpad"].start + k] = (max(rpad, 0) >> k) & 1
+        for k in range(8):
+            trace[r, L["nbb"].start + k] = (row["nblocks"] >> k) & 1
+        for j, byte in enumerate(row["nonce_bytes"]):
+            for k in range(8):
+                trace[r, L["nb"].start + 8 * j + k] = (byte >> k) & 1
+        for j, byte in enumerate(row["tag_bytes"]):
+            for k in range(8):
+                trace[r, L["tb"].start + 8 * j + k] = (byte >> k) & 1
+        trace[r, L["g_hdr"].start] = row["rt0"] * row["live"]
+        trace[r, L["g_nv"].start] = (row["rt0"] * row["live"]
+                                     * (1 - row["v13"]))
+        trace[r, L["g_j0"].start] = row["rt1"] * row["live"]
+        trace[r, L["g_ctr"].start] = ((1 - row["rt0"] - row["rt1"])
+                                      * row["live"])
         # inc32 carries into this row (meaningful only on counter rows
         # that follow another row; harmless elsewhere)
         if "c0" in row:

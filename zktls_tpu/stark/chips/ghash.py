@@ -36,7 +36,15 @@ from __future__ import annotations
 import numpy as np
 
 from ..air import Air, AirBuilder
-from ..bus import BUS_GCM_H, BUS_GCM_MASK, BUS_GCM_TAG, np_bus_inverse_terms
+from ..bus import (
+    BUS_GCM_AAD,
+    BUS_GCM_CT,
+    BUS_GCM_H,
+    BUS_GCM_LEN,
+    BUS_GCM_MASK,
+    BUS_GCM_TAG,
+    np_bus_inverse_terms,
+)
 from ..ext_val import ExtVal
 
 __all__ = ["GhashAir", "ghash_trace", "ROWS_PER_BLOCK"]
@@ -81,6 +89,15 @@ def _build_layout() -> _Layout:
     L.add("mask", 128)  # E_K(J0) bits (bound at the event end by the bus)
     L.add("m_start", 1)  # = is_r0·es·live (receive H here)
     L.add("m_end", 1)    # = is_glast·es_next·live (mask recv + tag send)
+    # --- round-3 block-binding metadata ---
+    L.add("nlb", 1)      # 1 iff this group is the event's LAST block (the
+    #                      GHASH length block); group-constant
+    L.add("cbi", 1)      # group index within the event (0 = AAD block,
+    #                      1..m = ciphertext blocks, m+1 = length block)
+    L.add("q", 1)        # boundary-row product (1−es_next)·(1−nlb_next)
+    L.add("q2", 1)       # boundary-row product (1−es_next)·nlb_next
+    L.add("m_ct", 1)     # = is_glast·q·live  (receive a ct block here)
+    L.add("m_len", 1)    # = is_glast·q2·live (receive the length block)
     return L
 
 
@@ -91,8 +108,8 @@ class GhashAir(Air):
     width = LAYOUT.width
     num_public = 0
     max_constraint_degree = 3
-    #: inv_h ‖ inv_mask ‖ inv_tag ‖ u ‖ acc (extension elements)
-    perm_width = 20
+    #: inv_h ‖ inv_mask ‖ inv_tag ‖ inv_aad ‖ inv_ct ‖ inv_len ‖ u ‖ acc
+    perm_width = 32
     num_perm_challenges = 2
     has_bus = True
 
@@ -197,6 +214,29 @@ class GhashAir(Air):
         b.assert_zero(m_start - is_r0 * es * live)
         b.assert_zero(m_end - is_glast * es_next * live)
 
+        # --- block-kind metadata (round 3: every processed block is
+        # bus-bound — AAD from the control chip, ciphertext blocks from
+        # the GCM data chip, the length block from the control chip) ---
+        nlb, cbi = loc("nlb", 0), loc("cbi", 0)
+        nlb_next = b.next[L["nlb"].start]
+        cbi_next = b.next[L["cbi"].start]
+        q, q2 = loc("q", 0), loc("q2", 0)
+        m_ct, m_len = loc("m_ct", 0), loc("m_len", 0)
+        b.assert_bool(nlb)
+        # group-constant; nlb pinned at boundaries by the next group's es
+        b.assert_zero(within * (b.next[L["nlb"].start] - nlb))
+        b.assert_zero(within * (cbi_next - cbi))
+        b.assert_zero(is_glast * live * (nlb - es_next))
+        b.assert_zero(is_r0 * es * cbi)
+        b.assert_zero(is_glast * (1 - es_next) * (cbi_next - cbi - 1))
+        # boundary products, pinned only on group-last rows (elsewhere q,
+        # q2 are junk but every use carries an is_glast factor); on the
+        # wrap row next = row 0 with es = 1, forcing q = q2 = 0
+        b.assert_zero(is_glast * (q - (1 - es_next) * (1 - nlb_next)))
+        b.assert_zero(is_glast * (q2 - (1 - es_next) * nlb_next))
+        b.assert_zero(m_ct - is_glast * q * live)
+        b.assert_zero(m_len - is_glast * q2 * live)
+
         # --- bus messages (limbs are big-endian 16-bit pairs; bit k of
         # byte j of the 16-byte value sits at column 8·(15−j)+k) ---
         gamma = b.challenges[0]
@@ -225,24 +265,54 @@ class GhashAir(Air):
                     v = term if v is None else v + term
             return v
 
+        def blk_limb(j):
+            """limb j of the NEXT group's data block B = next.x ⊕ local.t
+            (y_prev), evaluated at group-boundary rows."""
+            v = None
+            for byte_off, scale in ((2 * j, 256), (2 * j + 1, 1)):
+                base_col = 8 * (15 - byte_off)
+                for k in range(8):
+                    nx = b.next[L["x"].start + base_col + k]
+                    tb = loc("t", base_col + k)
+                    term = (nx + tb - 2 * (nx * tb)) * (scale << k)
+                    v = term if v is None else v + term
+            return v
+
         fp_h = ExtVal.from_base(BUS_GCM_H) + dpow(0) * eid
         fp_mask = ExtVal.from_base(BUS_GCM_MASK) + dpow(0) * eid
         fp_tag = ExtVal.from_base(BUS_GCM_TAG) + dpow(0) * eid
+        # AAD block: the event's first multiplicand x_row0 (y_prev = 0)
+        fp_aad = ExtVal.from_base(BUS_GCM_AAD) + dpow(0) * eid
+        # ct / length blocks: received at the boundary INTO their group
+        # with the eid shared across the boundary (es_next = 0 there)
+        fp_ct = (ExtVal.from_base(BUS_GCM_CT) + dpow(0) * eid
+                 + dpow(1) * cbi_next)
+        fp_len = ExtVal.from_base(BUS_GCM_LEN) + dpow(0) * eid
         for j in range(8):
             fp_h = fp_h + dpow(1 + j) * limb16("h", j)
             fp_mask = fp_mask + dpow(1 + j) * limb16("mask", j)
             fp_tag = fp_tag + dpow(1 + j) * tag_limb(j)
+            fp_aad = fp_aad + dpow(1 + j) * limb16("x", j)
+            fp_ct = fp_ct + dpow(2 + j) * blk_limb(j)
+            fp_len = fp_len + dpow(1 + j) * blk_limb(j)
         inv_h = b.perm_ext(0)
         inv_mask = b.perm_ext(1)
         inv_tag = b.perm_ext(2)
-        u = b.perm_ext(3)
-        acc = b.perm_ext(4)
-        u_n = b.perm_ext(3, nxt=True)
-        acc_n = b.perm_ext(4, nxt=True)
+        inv_aad = b.perm_ext(3)
+        inv_ct = b.perm_ext(4)
+        inv_len = b.perm_ext(5)
+        u = b.perm_ext(6)
+        acc = b.perm_ext(7)
+        u_n = b.perm_ext(6, nxt=True)
+        acc_n = b.perm_ext(7, nxt=True)
         b.assert_ext_zero(inv_h * (gamma - fp_h) - 1)
         b.assert_ext_zero(inv_mask * (gamma - fp_mask) - 1)
         b.assert_ext_zero(inv_tag * (gamma - fp_tag) - 1)
-        u_def = (inv_tag - inv_mask) * m_end - inv_h * m_start
+        b.assert_ext_zero(inv_aad * (gamma - fp_aad) - 1)
+        b.assert_ext_zero(inv_ct * (gamma - fp_ct) - 1)
+        b.assert_ext_zero(inv_len * (gamma - fp_len) - 1)
+        u_def = ((inv_tag - inv_mask) * m_end - inv_h * m_start
+                 - inv_aad * m_start - inv_ct * m_ct - inv_len * m_len)
         b.assert_ext_zero(u - u_def)
         b.assert_ext_zero((acc - u) * b.is_first_row)
         b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
@@ -283,14 +353,40 @@ class GhashAir(Air):
             challenges, BUS_GCM_MASK, np.concatenate([eid, mask_l], axis=1))
         inv_tag = np_bus_inverse_terms(
             challenges, BUS_GCM_TAG, np.concatenate([eid, tag_l], axis=1))
+        # x limbs (row-local) for the AAD receive; B = next.x ⊕ t limbs
+        # for the ct/length receives at boundary rows
+        x_l = limbs_of("x")
+        nx_bits = np.roll(main[:, L["x"]].astype(np.uint64), -1, axis=0)
+        b_bits = nx_bits ^ t_bits
+        b_l = np.zeros((n, 8), dtype=np.uint64)
+        for j in range(8):
+            for byte_off, scale in ((2 * j, 256), (2 * j + 1, 1)):
+                base_col = 8 * (15 - byte_off)
+                for k in range(8):
+                    b_l[:, j] += b_bits[:, base_col + k] * (scale << k)
+        cbi_next = np.roll(main[:, L["cbi"].start].astype(np.uint64), -1)
+        inv_aad = np_bus_inverse_terms(
+            challenges, BUS_GCM_AAD, np.concatenate([eid, x_l], axis=1))
+        inv_ct = np_bus_inverse_terms(
+            challenges, BUS_GCM_CT,
+            np.concatenate([eid, cbi_next[:, None], b_l], axis=1))
+        inv_len = np_bus_inverse_terms(
+            challenges, BUS_GCM_LEN, np.concatenate([eid, b_l], axis=1))
         m_start = main[:, L["m_start"].start].astype(np.uint64)[:, None]
         m_end = main[:, L["m_end"].start].astype(np.uint64)[:, None]
+        m_ct = main[:, L["m_ct"].start].astype(np.uint64)[:, None]
+        m_len = main[:, L["m_len"].start].astype(np.uint64)[:, None]
         u = (m_end * ((inv_tag.astype(np.uint64) + P
                        - inv_mask.astype(np.uint64)) % P)
-             + P - m_start * inv_h.astype(np.uint64) % P) % P
+             + 4 * P
+             - m_start * ((inv_h.astype(np.uint64)
+                           + inv_aad.astype(np.uint64)) % P)
+             - m_ct * inv_ct.astype(np.uint64) % P
+             - m_len * inv_len.astype(np.uint64) % P) % P
         acc = np.cumsum(u, axis=0) % P
         return np.concatenate(
-            [inv_h, inv_mask, inv_tag, u, acc], axis=1).astype(np.uint32)
+            [inv_h, inv_mask, inv_tag, inv_aad, inv_ct, inv_len, u, acc],
+            axis=1).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -316,30 +412,35 @@ def ghash_trace(events: list[tuple[int, int, list[int], int]],
     """
     if not events or not any(blks for _e, _h, blks, _m in events):
         raise ValueError("need at least one event with one block")
-    # (eid, h, x_in, es, live, mask, ev_end)
+    # (eid, h, x_in, es, live, mask, ev_end, cbi, nlb)
     groups: list[tuple] = []
     for eid, h, blocks, mask in events:
         y = 0
         for gi_, blk in enumerate(blocks):
+            last = 1 if gi_ == len(blocks) - 1 else 0
             groups.append([eid, h, y ^ blk, 1 if gi_ == 0 else 0, 1, mask,
-                           1 if gi_ == len(blocks) - 1 else 0])
+                           last, gi_, last])
             y = _ghash_mul_ref(y ^ blk, h)
 
     n_rows = len(groups) * ROWS_PER_BLOCK
     log_n = max(min_log_n, (n_rows - 1).bit_length())
     n = 1 << log_n
     pad = n // ROWS_PER_BLOCK - len(groups)
-    groups = [[0, 0, 0, 1, 0, 0, 1]] * pad + groups
+    groups = [[0, 0, 0, 1, 0, 0, 1, 0, 1]] * pad + groups
 
     L = LAYOUT
     trace = np.zeros((n, L.width), dtype=np.uint32)
     E1 = 0xE1 << 120
     M128 = (1 << 128) - 1
-    for gidx, (eid, h, x_in, es, live, mask, ev_end) in enumerate(groups):
+    n_groups = len(groups)
+    for gidx, (eid, h, x_in, es, live, mask, ev_end, cbi,
+               nlb) in enumerate(groups):
         base = gidx * ROWS_PER_BLOCK
         acc, v, x = 0, h, x_in
         h_bits = _int_to_bits(h)
         mask_bits = _int_to_bits(mask)
+        nxt = groups[(gidx + 1) % n_groups]
+        es_next, nlb_next = nxt[3], nxt[8]
         for r in range(ROWS_PER_BLOCK):
             row = base + r
             bit = (x >> 127) & 1
@@ -352,11 +453,19 @@ def ghash_trace(events: list[tuple[int, int, list[int], int]],
             trace[row, L["mask"]] = mask_bits
             trace[row, L["eid"].start] = eid
             trace[row, L["live"].start] = live
+            trace[row, L["cbi"].start] = cbi
+            trace[row, L["nlb"].start] = nlb
             if r == 0:
                 trace[row, L["es"].start] = es
                 trace[row, L["m_start"].start] = es * live
             if r == ROWS_PER_BLOCK - 1:
                 trace[row, L["m_end"].start] = ev_end * live
+                q = (1 - es_next) * (1 - nlb_next)
+                q2 = (1 - es_next) * nlb_next
+                trace[row, L["q"].start] = q
+                trace[row, L["q2"].start] = q2
+                trace[row, L["m_ct"].start] = q * live
+                trace[row, L["m_len"].start] = q2 * live
             acc = t
             v = (v >> 1) ^ (E1 if v & 1 else 0)
             x = (x << 1) & M128

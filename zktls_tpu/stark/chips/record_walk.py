@@ -26,11 +26,15 @@ class GcmRecordMeta:
     seqno: int          # per-direction encrypted-record counter
     rectype: int        # outer record type byte
     ct_len: int
-    is_resp: int
-    rbase: int          # response position of the record's first pt byte
-    nonce_explicit: bytes   # 8 bytes (TLS 1.2) or b""
-    ct: bytes
-    tag: bytes
+    is_resp: int        # journal semantics: server-direction app record
+    is_app: int = 0     # direction-local: contributes to this direction's
+    #                     application stream (request or response)
+    rbase: int = 0      # app-stream position of the record's first pt byte
+    nonce_explicit: bytes = b""   # 8 bytes (TLS 1.2) or b""
+    ct: bytes = b""
+    tag: bytes = b""
+    v13: int = 0        # session TLS-1.3 flag
+    obj: int = 1        # session stream hash-object id (batch: i+1)
 
 
 def walk_stream_records(stream: bytes, gcm_events: list,
@@ -60,16 +64,17 @@ def walk_stream_records(stream: bytes, gcm_events: list,
                 eid = tag_to_eid[bytes(tag)]
                 if v13:
                     ev = gcm_events[eid]
-                    is_resp = 1 if dk == "s" and ev.plaintext and \
+                    is_app = 1 if ev.plaintext and \
                         ev.plaintext[-1] == 23 else 0
                 else:
-                    is_resp = 1 if dk == "s" and typ == 23 else 0
+                    is_app = 1 if typ == 23 else 0
+                is_resp = is_app if dk == "s" else 0
                 out.append(GcmRecordMeta(
                     dir=dk, eid=eid, seqno=cnt, rectype=typ,
-                    ct_len=len(ct), is_resp=is_resp, rbase=dtot,
-                    nonce_explicit=bytes(nonce), ct=bytes(ct),
-                    tag=bytes(tag)))
-                if is_resp:
+                    ct_len=len(ct), is_resp=is_resp, is_app=is_app,
+                    rbase=dtot, nonce_explicit=bytes(nonce), ct=bytes(ct),
+                    tag=bytes(tag), v13=1 if v13 else 0))
+                if is_app:
                     dtot += len(ct) - (1 if v13 else 0)
                 cnt += 1
             if typ == 20 and not enc:

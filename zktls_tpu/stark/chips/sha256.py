@@ -54,7 +54,8 @@ import numpy as np
 from ...guest.crypto.sha256 import _IV, _K  # spec constants
 from ...ops.field_ref import P
 from ..air import Air, AirBuilder
-from ..bus import BUS_SHA_RESULT, BUS_SHA_STATE, np_bus_inverse_terms
+from ..bus import (BUS_SHA_BLOCK, BUS_SHA_RESULT, BUS_SHA_STATE,
+                   np_bus_inverse_terms)
 from ..ext_val import ExtVal
 
 __all__ = ["Sha256Air", "sha256_trace", "ROWS_PER_BLOCK"]
@@ -110,6 +111,10 @@ def _build_layout() -> _Layout:
     L.add("nc", NC_BITS)      # consumer count of this group's output, bits
     L.add("has_tag", 1)       # 1 ⇒ publish digest with result tag
     L.add("tag", 1)           # result tag (0 unless has_tag)
+    L.add("xb", 1)            # expose-block flag: 1 ⇒ this chain's message
+    #                           blocks are sent on the bus (BUS_SHA_BLOCK)
+    #                           for the stream-parser chip; chain-invariant
+    #                           because it rides the chain fingerprints
     L.add("dig", 16)          # Davies-Meyer output limbs (canonical on the
     #                           group's last row; bus messages read these)
     return L
@@ -131,8 +136,8 @@ class Sha256Air(Air):
     width = LAYOUT.width
     num_public = 0
     max_constraint_degree = 3
-    #: inv_recv ‖ inv_send ‖ inv_res ‖ u ‖ acc (extension elements)
-    perm_width = 20
+    #: inv_recv ‖ inv_send ‖ inv_res ‖ inv_b0 ‖ inv_b1 ‖ u ‖ acc
+    perm_width = 28
     num_perm_challenges = 2   # machine supplies the full challenge vector
     has_bus = True
 
@@ -311,8 +316,9 @@ class Sha256Air(Air):
                 - col("dig", 2 * i + 1) - hc_hi * (1 << 16))
 
         # --- group-constant chaining metadata ---
-        for nm in ("obj", "fresh", "has_tag", "tag"):
+        for nm in ("obj", "fresh", "has_tag", "tag", "xb"):
             b.assert_zero(not_last * (ncol(nm) - col(nm)))
+        b.assert_bool(col("xb"))
         b.assert_zero_vec(not_last * (ng("seq") - g("seq")), SEQ_BITS)
         b.assert_zero_vec(not_last * (ng("nc") - g("nc")), NC_BITS)
         b.assert_zero(col("tag") * (1 - col("has_tag")))
@@ -333,26 +339,45 @@ class Sha256Air(Air):
         obj_c = col("obj")
         seq_val = b.dot_const(g("seq"), [1 << i for i in range(SEQ_BITS)])
         nc_val = b.dot_const(g("nc"), [1 << i for i in range(NC_BITS)])
+        xb = col("xb")
+        # xb rides the chain fingerprints (recv at seq, send at seq+1), so
+        # a chain is expose-flagged as a whole; the verifier pins the
+        # stream chain's flag through the tagged-result payload
         fp_recv = (ExtVal.from_base(BUS_SHA_STATE) + dpow(0) * obj_c
-                   + dpow(1) * seq_val)
+                   + dpow(1) * seq_val + dpow(2) * xb)
         fp_send = (ExtVal.from_base(BUS_SHA_STATE) + dpow(0) * obj_c
-                   + dpow(1) * (seq_val + 1))
-        fp_res = ExtVal.from_base(BUS_SHA_RESULT) + dpow(0) * col("tag")
+                   + dpow(1) * (seq_val + 1) + dpow(2) * xb)
+        fp_res = (ExtVal.from_base(BUS_SHA_RESULT) + dpow(0) * col("tag")
+                  + dpow(17) * xb)
         for i in range(16):
-            fp_recv = fp_recv + dpow(2 + i) * col("h_state", i)
-            fp_send = fp_send + dpow(2 + i) * col("dig", i)
+            fp_recv = fp_recv + dpow(3 + i) * col("h_state", i)
+            fp_send = fp_send + dpow(3 + i) * col("dig", i)
             fp_res = fp_res + dpow(1 + i) * col("dig", i)
+        # message-block halves (valid on round-0 rows, where the schedule
+        # window w_win holds w[0..16) = the block words)
+        fp_b0 = (ExtVal.from_base(BUS_SHA_BLOCK) + dpow(0) * obj_c
+                 + dpow(1) * seq_val)
+        fp_b1 = (ExtVal.from_base(BUS_SHA_BLOCK) + dpow(0) * obj_c
+                 + dpow(1) * seq_val + dpow(2) * 1)
+        for i in range(16):
+            fp_b0 = fp_b0 + dpow(3 + i) * col("w_win", i)
+            fp_b1 = fp_b1 + dpow(3 + i) * col("w_win", 16 + i)
         inv_recv = b.perm_ext(0)
         inv_send = b.perm_ext(1)
         inv_res = b.perm_ext(2)
-        u = b.perm_ext(3)
-        acc = b.perm_ext(4)
-        u_n = b.perm_ext(3, nxt=True)
-        acc_n = b.perm_ext(4, nxt=True)
+        inv_b0 = b.perm_ext(3)
+        inv_b1 = b.perm_ext(4)
+        u = b.perm_ext(5)
+        acc = b.perm_ext(6)
+        u_n = b.perm_ext(5, nxt=True)
+        acc_n = b.perm_ext(6, nxt=True)
         b.assert_ext_zero(inv_recv * (gamma - fp_recv) - 1)
         b.assert_ext_zero(inv_send * (gamma - fp_send) - 1)
         b.assert_ext_zero(inv_res * (gamma - fp_res) - 1)
+        b.assert_ext_zero(inv_b0 * (gamma - fp_b0) - 1)
+        b.assert_ext_zero(inv_b1 * (gamma - fp_b1) - 1)
         u_def = (inv_send * nc_val + inv_res * col("has_tag")) * is_last \
+            + (inv_b0 + inv_b1) * (is_r0 * xb) \
             - inv_recv * ((1 - fresh) * is_r0)
         b.assert_ext_zero(u - u_def)
         b.assert_ext_zero((acc - u) * b.is_first_row)
@@ -375,25 +400,39 @@ class Sha256Air(Air):
         fresh = main[:, L["fresh"].start].astype(np.uint64)
         has_tag = main[:, L["has_tag"].start].astype(np.uint64)
         tag = main[:, L["tag"].start].astype(np.uint64)
+        xb = main[:, L["xb"].start].astype(np.uint64)
         hs = main[:, L["h_state"]].astype(np.uint64)
         dg = main[:, L["dig"]].astype(np.uint64)
-        recv_pl = np.concatenate([obj[:, None], seq[:, None], hs], axis=1)
+        wwin = main[:, L["w_win"]].astype(np.uint64)
+        recv_pl = np.concatenate([obj[:, None], seq[:, None], xb[:, None],
+                                  hs], axis=1)
         send_pl = np.concatenate([obj[:, None], ((seq + 1) % P)[:, None],
-                                  dg], axis=1)
-        res_pl = np.concatenate([tag[:, None], dg], axis=1)
+                                  xb[:, None], dg], axis=1)
+        res_pl = np.concatenate([tag[:, None], dg, xb[:, None]], axis=1)
+        b0_pl = np.concatenate([obj[:, None], seq[:, None],
+                                np.zeros((n, 1), dtype=np.uint64),
+                                wwin[:, :16]], axis=1)
+        b1_pl = np.concatenate([obj[:, None], seq[:, None],
+                                np.ones((n, 1), dtype=np.uint64),
+                                wwin[:, 16:]], axis=1)
         inv_recv = np_bus_inverse_terms(challenges, BUS_SHA_STATE, recv_pl)
         inv_send = np_bus_inverse_terms(challenges, BUS_SHA_STATE, send_pl)
         inv_res = np_bus_inverse_terms(challenges, BUS_SHA_RESULT, res_pl)
+        inv_b0 = np_bus_inverse_terms(challenges, BUS_SHA_BLOCK, b0_pl)
+        inv_b1 = np_bus_inverse_terms(challenges, BUS_SHA_BLOCK, b1_pl)
         t = np.arange(n) % ROWS_PER_BLOCK
         is_r0 = (t == 0).astype(np.uint64)[:, None]
         is_last = (t == ROWS_PER_BLOCK - 1).astype(np.uint64)[:, None]
-        pos = is_last * ((nc[:, None] * inv_send
-                          + has_tag[:, None] * inv_res) % P) % P
+        pos = (is_last * ((nc[:, None] * inv_send
+                           + has_tag[:, None] * inv_res) % P)
+               + is_r0 * xb[:, None]
+               * ((inv_b0.astype(np.uint64)
+                   + inv_b1.astype(np.uint64)) % P)) % P
         neg = (is_r0 * ((1 - fresh)[:, None]) * inv_recv) % P
         u = (pos + P - neg) % P
         acc = np.cumsum(u, axis=0) % P
         return np.concatenate(
-            [inv_recv, inv_send, inv_res, u, acc], axis=1
+            [inv_recv, inv_send, inv_res, inv_b0, inv_b1, u, acc], axis=1
         ).astype(np.uint32)
 
 
@@ -618,4 +657,7 @@ def sha256_trace(events, min_log_n: int = 6):
             ((nc_b[b_idx] >> k) & 1).astype(np.uint32)
     trace[:, L["has_tag"].start] = (tag_b != 0)[b_idx].astype(np.uint32)
     trace[:, L["tag"].start] = (tag_b % P)[b_idx].astype(np.uint32)
+    xb_b = np.array([getattr(e, "expose_block", 0) for e in all_events],
+                    dtype=np.int64)
+    trace[:, L["xb"].start] = (xb_b != 0)[b_idx].astype(np.uint32)
     return trace, []

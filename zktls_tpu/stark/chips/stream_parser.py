@@ -102,7 +102,6 @@ def _build_layout() -> _Layout:
     L.add("segend")    # (h4+dd)·remz — segment completes at this row
     # SHA padding checks
     L.add("padz")      # (1−plive)·(1−lflag)·live
-    L.add("rinc")      # eend_s·isr_s (response-total increment marker)
     L.add("lflag")     # length-field row marker (8 per region)
     L.add("lcnt")      # running lflag count (region-reset)
     L.add("lenacc")    # big-endian composition of lflag bytes
@@ -122,7 +121,8 @@ def _build_layout() -> _Layout:
         L.add(f"seqv{d}"); L.add(f"cnt{d}"); L.add(f"enc{d}")
         L.add(f"z20{d}"); L.add(f"z20i{d}")
         L.add(f"z23{d}"); L.add(f"z23i{d}")
-        L.add(f"rbase{d}"); L.add(f"dtot{d}")
+        L.add(f"rbase{d}"); L.add(f"dtot{d}"); L.add(f"isrb{d}")
+        L.add(f"rinc{d}")
         L.add(f"e0{d}"); L.add(f"e4{d}"); L.add(f"e12{d}"); L.add(f"eend{d}")
         L.add(f"fn{d}"); L.add(f"fc{d}"); L.add(f"ft{d}"); L.add(f"fp{d}")
         L.add(f"ac{d}")
@@ -322,6 +322,11 @@ class StreamParserAir(Air):
             b.assert_zero(c("isg13" + d)
                           - c("isg" + d) * (1 - c("v13")))
             b.assert_zero(c("m23" + d) - c("isg" + d) * c("z23" + d))
+            # isrb: response-byte marker — like isr but excluding the
+            # final ciphertext byte of a TLS 1.3 record (the inner
+            # content-type byte, which is not response content)
+            b.assert_zero(c("isrb" + d)
+                          - c("isr" + d) * (1 - c("v13") * c("cz" + d)))
             # record-constant columns: rtyp/seqv/rbase/isg change only at
             # e0; eid/ctlen/isr are resolved when the header length is
             # known, so they may also change at e4 (they are 0 between e0
@@ -360,22 +365,18 @@ class StreamParserAir(Air):
             b.assert_zero(tr * (n("enc" + d) - (1 - rs_n) * c("enc" + d)
                                 - n("eend" + d) * n("z20" + d)
                                 * (1 - c("enc" + d))))
-            # is_resp: 1.2 equality; both versions bounded by isg ∧ type 23
+            # isr = "contributes to this direction's application stream"
+            # (server: response bytes; client: request bytes — round-3
+            # keccak binding).  1.2: exactly (encrypted ∧ type 23),
+            # checked when resolved at e4; both versions bounded by it.
             b.assert_zero(c("isr" + d) * (1 - c("m23" + d)))
-            if d == "s":
-                # 1.2: is_resp is exactly (encrypted ∧ type 23), checked
-                # when the flag is resolved at e4
-                b.assert_zero((1 - c("v13")) * e4_n
-                              * (n("isr" + d) - n("m23" + d)))
-                # rinc materializes eend·isr so the dtot update stays deg 3
-                b.assert_zero(c("rinc") - c("eend" + d) * c("isr" + d))
-                b.assert_zero(tr * (
-                    n("dtot" + d) - (1 - rs_n) * c("dtot" + d)
-                    - n("rinc") * (n("ctlen" + d) - c("v13"))))
-            else:
-                b.assert_zero(c("isr" + d))
-                b.assert_zero(tr * (n("dtot" + d)
-                                    - (1 - rs_n) * c("dtot" + d)))
+            b.assert_zero((1 - c("v13")) * e4_n
+                          * (n("isr" + d) - n("m23" + d)))
+            # rinc materializes eend·isr so the dtot update stays deg 3
+            b.assert_zero(c("rinc" + d) - c("eend" + d) * c("isr" + d))
+            b.assert_zero(tr * (
+                n("dtot" + d) - (1 - rs_n) * c("dtot" + d)
+                - n("rinc" + d) * (n("ctlen" + d) - c("v13"))))
             # ct_len relation + sub-region initialisation
             b.assert_zero(e4_n * (
                 n("isg" + d) * (n("rrem" + d) - n("ctlen" + d) - 24)
@@ -422,25 +423,26 @@ class StreamParserAir(Air):
         u_def = ExtVal.from_base(0) - inv_blk * (live * p_h31)
 
         idx = 1
-        for d in ("c", "s"):
+        for d, dsv in (("c", 0), ("s", 1)):
             eid = c("eid" + d)
             fp_nonce = (ExtVal.from_base(BUS_NONCE_BYTE) + dpow(0) * eid
                         + dpow(1) * c("nrem" + d) + dpow(2) * byv)
             # crem here is the POST-row value (ctlen−1−j for 0-based byte
-            # j), so the byte's response position is rbase + ctlen−1−crem
-            rposv = (c("isr" + d) * (c("rbase" + d) + c("ctlen" + d)
-                                     - 1 - c("crem" + d))
-                     + (1 - c("isr" + d)) * RPOS_SENTINEL)
+            # j), so the byte's app-stream position is rbase+ctlen−1−crem
+            rposv = (c("isrb" + d) * (c("rbase" + d) + c("ctlen" + d)
+                                      - 1 - c("crem" + d))
+                     + (1 - c("isrb" + d)) * RPOS_SENTINEL)
             fp_ct = (ExtVal.from_base(BUS_CT_BYTE) + dpow(0) * eid
                      + dpow(1) * c("crem" + d) + dpow(2) * byv
                      + dpow(3) * rposv + dpow(4) * c("isr" + d)
-                     + dpow(5) * c("v13") + dpow(6) * c("obj"))
+                     + dpow(5) * c("v13") + dpow(6) * c("obj")
+                     + dpow(7) * dsv + dpow(8) * c("isrb" + d))
             fp_tag = (ExtVal.from_base(BUS_TAG_BYTE) + dpow(0) * eid
                       + dpow(1) * c("trem" + d) + dpow(2) * byv)
             fp_prec = (ExtVal.from_base(BUS_PARSE_REC) + dpow(0) * eid
                        + dpow(1) * c("seqv" + d) + dpow(2) * c("rtyp" + d)
                        + dpow(3) * c("ctlen" + d) + dpow(4) * c("v13")
-                       + dpow(5) * c("isr" + d))
+                       + dpow(5) * (c("isr" + d) * dsv))
             iv_n = b.perm_ext(idx)
             iv_c = b.perm_ext(idx + 1)
             iv_t = b.perm_ext(idx + 2)
@@ -486,24 +488,26 @@ class StreamParserAir(Air):
         u = (P - (inv_blk.astype(np.uint64)
                   * (col("live") * p_h31)[:, None]) % P) % P
         parts = [inv_blk]
-        for d in ("c", "s"):
+        for d, dsv in (("c", 0), ("s", 1)):
             eid = col("eid" + d)[:, None]
             nonce_pl = np.concatenate(
                 [eid, col("nrem" + d)[:, None], byv[:, None]], axis=1)
             isr = col("isr" + d)
-            rposv = (isr * ((col("rbase" + d) + col("ctlen" + d)
-                             + 2 * P - 1 - col("crem" + d)) % P)
-                     + (1 - isr) * RPOS_SENTINEL) % P
+            isrb = (isr * (1 - col("v13") * col("cz" + d))) % P
+            rposv = (isrb * ((col("rbase" + d) + col("ctlen" + d)
+                              + 2 * P - 1 - col("crem" + d)) % P)
+                     + (1 - isrb) * RPOS_SENTINEL) % P
+            dsc = np.full_like(isr, dsv)
             ct_pl = np.concatenate(
                 [eid, col("crem" + d)[:, None], byv[:, None],
                  rposv[:, None], isr[:, None], col("v13")[:, None],
-                 col("obj")[:, None]], axis=1)
+                 col("obj")[:, None], dsc[:, None], isrb[:, None]], axis=1)
             tag_pl = np.concatenate(
                 [eid, col("trem" + d)[:, None], byv[:, None]], axis=1)
             prec_pl = np.concatenate(
                 [eid, col("seqv" + d)[:, None], col("rtyp" + d)[:, None],
                  col("ctlen" + d)[:, None], col("v13")[:, None],
-                 isr[:, None]], axis=1)
+                 (isr * dsv)[:, None]], axis=1)
             iv_n = np_bus_inverse_terms(challenges, BUS_NONCE_BYTE, nonce_pl)
             iv_c = np_bus_inverse_terms(challenges, BUS_CT_BYTE, ct_pl)
             iv_t = np_bus_inverse_terms(challenges, BUS_TAG_BYTE, tag_pl)
@@ -549,19 +553,21 @@ def _sha_pad(data: bytes) -> bytes:
 
 
 def parser_sessions_from_replay(stream: bytes, gcm_events: list,
-                                v13: bool, obj: int = 1) -> dict:
+                                v13: bool, obj: int = 1,
+                                eid_off: int = 0) -> dict:
     """One session spec for parser_trace: matches stream records to GCM
-    events by tag bytes."""
+    events by tag bytes.  eid_off renumbers events for batch proofs."""
     tag_to_eid = {}
     for eid, ev in enumerate(gcm_events):
-        tag_to_eid[bytes(ev.tag)] = eid
+        tag_to_eid[bytes(ev.tag)] = eid_off + eid
     resp_flags = {}
     for eid, ev in enumerate(gcm_events):
         # 1.3: inner content type is the last plaintext byte; the walk
         # additionally requires the server direction.  1.2: derived from
         # (dir, outer type) during the walk.
-        resp_flags[eid] = (len(ev.plaintext) > 0
-                           and ev.plaintext[-1] == 23) if v13 else None
+        resp_flags[eid_off + eid] = (len(ev.plaintext) > 0
+                                     and ev.plaintext[-1] == 23) \
+            if v13 else None
     return {"stream": bytes(stream), "events": gcm_events,
             "tag_to_eid": tag_to_eid, "resp_flags": resp_flags,
             "v13": 1 if v13 else 0, "obj": obj}
@@ -703,11 +709,9 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
                                     "GCM record tag not found in events")
                             st.eid = tag_to_eid[tag]
                             if v13:
-                                st.isr = 1 if resp_flags[st.eid] and \
-                                    dk == "s" else 0
+                                st.isr = 1 if resp_flags[st.eid] else 0
                             else:
-                                st.isr = (1 if dk == "s"
-                                          and st.rtyp == 23 else 0)
+                                st.isr = 1 if st.rtyp == 23 else 0
                         if st.rrem > 0:
                             st.kind = "KB"
                         else:
@@ -731,8 +735,8 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
                                 region[r, L["fp" + suffix].start] = 1
                             if st.rtyp == 20 and not st.enc:
                                 st.enc = 1
-                            if dk == "s" and st.isr:
-                                region[r, L["rinc"].start] = 1
+                            if st.isr:
+                                region[r, L["rinc" + suffix].start] = 1
                                 st.dtot += st.ctlen - v13
                             st.kind = "K0"
                     row[L["ac" + suffix].start] = 1
@@ -798,6 +802,8 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
                     st.isg * row[L["z23" + dk].start])
                 row[L["rbase" + dk].start] = st.rbase % P
                 row[L["dtot" + dk].start] = st.dtot % P
+                row[L["isrb" + dk].start] = (
+                    st.isr * (1 - v13 * (1 if st.crem % P == 0 else 0)))
         rows.append(region)
 
     full = np.concatenate(rows, axis=0)
@@ -809,7 +815,7 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
         # final values (all updates gated by live/plive flags)
         pad = np.tile(full[-1:], (n - n_real, 1))
         dead_cols = ["live", "rs", "plive", "h0", "h1", "h2", "h3", "h4",
-                     "dd", "lflag", "padz", "segend", "rinc"]
+                     "dd", "lflag", "padz", "segend", "rincc", "rincs"]
         for nm in dead_cols:
             pad[:, L[nm]] = 0
         # limb accumulators / flags recompute as zero-byte rows

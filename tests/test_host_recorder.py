@@ -261,3 +261,45 @@ def test_tls13_tamper_detected(tls13_server):
     # Error) or in a tape length header (framing ValueError) — both reject
     with pytest.raises((ReplayError, ValueError)):
         replay_session(gi.response)
+
+
+def test_tls13_machine_chips_balance(tls13_server):
+    """Round-3 binding on a LIVE TLS 1.3 session: the full chip set
+    (parser, GCM data, xor, keccak included) builds from a recorded 1.3
+    loopback session and its global bus balances against the journal's
+    public messages — the identity verify_machine enforces."""
+    from zktls_tpu.ops.field_ref import Fp4
+    from zktls_tpu.provers.stark import (
+        build_chip_instances,
+        journal_public_messages,
+    )
+    from zktls_tpu.stark.bus import MAX_PAYLOAD, bus_term, delta_powers
+
+    import zktls_tpu.host.recorder as rec_mod
+
+    port, _ = tls13_server
+    # force TLS_AES_128_GCM_SHA256 (the server would otherwise pick
+    # ChaCha20, which replays but has no chips yet)
+    saved = rec_mod._OFFERED_SUITES
+    rec_mod._OFFERED_SUITES = [0x1301]
+    try:
+        gi = TLSInputBuilder().build_input(_request(port))
+    finally:
+        rec_mod._OFFERED_SUITES = saved
+    out = run_guest(gi, require_trust_anchor=False)
+    assert out.v13
+    assert out.replay.gcm_events, "expected an AES-GCM 1.3 session"
+    chips = build_chip_instances(out)
+    names = {c.air.name for c in chips}
+    assert {"StreamParserAir", "GcmDataAir", "XorTableAir",
+            "KeccakAir"} <= names
+    challenges = [Fp4(61, 2, 9, 30)] + delta_powers(Fp4(19, 23, 4, 7),
+                                                    MAX_PAYLOAD)
+    total = Fp4(0)
+    for ci in chips:
+        perm = ci.air.generate_perm_trace(ci.trace, ci.publics, challenges)
+        total = total + Fp4(*[int(v) for v in perm[-1, -4:]])
+    for tag, payload, mult in journal_public_messages(out.journal):
+        t = bus_term(challenges, tag, payload)
+        total = total + (t if mult > 0 else Fp4(0) - t)
+    assert total == Fp4(0)

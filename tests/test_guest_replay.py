@@ -106,7 +106,10 @@ def test_run_guest_emits_journal(legacy):
 
     assert j["stream_sha256"] == hashlib.sha256(
         gi.response.stream).digest()
-    assert len(j["gcm_records"]) == 32 * len(out.replay.gcm_events)
+    from zktls_tpu.stark.chips.gcm_control import GCM_RECORD_SIZE
+
+    assert len(j["gcm_records"]) == GCM_RECORD_SIZE * len(
+        out.replay.gcm_events)
     assert j["response_hash"] == keccak256(out.replay.response_plaintext)
     assert j["server_name"] == "httpbin.org"
     assert j["time"] == parse_time(legacy.time)[0]

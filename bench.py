@@ -86,7 +86,13 @@ def main() -> None:
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # persist EVERYTHING: through the axon tunnel even a 0.5 s eager-op
+        # compile is a network round-trip, and the prove path dispatches
+        # hundreds of tiny glue ops — loading them from the cache is the
+        # difference between a ~2 min and a ~25 min cold process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
 

@@ -149,6 +149,55 @@ def test_forged_filtered_byte_rejected():
                        public_messages=bad, config=CFG)
 
 
+def _v13_meta_and_events(inner_type: int, claim_app: int):
+    """One fake TLS 1.3 GCM record whose plaintext ends with `inner_type`,
+    with the prover claiming is_app = claim_app."""
+    from zktls_tpu.stark.chips.record_walk import GcmRecordMeta
+
+    pt = bytes(range(20)) + bytes([inner_type])
+    ks = bytes((7 * i + 3) % 256 for i in range(32))
+    ct = bytes(p ^ k for p, k in zip(pt, ks))
+    ev = SimpleNamespace(tag=b"\xaa" * 16, plaintext=pt,
+                         keystream=[ks[:16], ks[16:]])
+    meta = GcmRecordMeta(dir="s", eid=0, seqno=0, rectype=23,
+                         ct_len=len(ct), is_resp=claim_app,
+                         is_app=claim_app, rbase=0, ct=ct,
+                         tag=b"\x01" * 16, v13=1)
+    return [meta], [ev]
+
+
+@pytest.mark.parametrize("inner_type,claim", [(23, 0), (22, 1)])
+def test_v13_inner_type_refutes_false_isr(inner_type, claim):
+    """Round-4 soundness fix: a TLS 1.3 record cannot under-claim
+    is_resp = 0 on a true application record (hiding response bytes from
+    the keccak/filtered binding) nor over-claim it on a handshake record
+    — the chip checks the decrypted inner content type byte."""
+    from zktls_tpu.ops.field_ref import Fp4
+    from zktls_tpu.stark.bus import MAX_PAYLOAD, delta_powers
+    from zktls_tpu.stark.debug import check_trace
+
+    challenges = [Fp4(5, 1, 2, 3)] + delta_powers(Fp4(11, 7, 13, 2),
+                                                  MAX_PAYLOAD)
+    air = GcmDataAir()
+
+    # honest claim satisfies the AIR
+    metas, events = _v13_meta_and_events(inner_type, 1 if inner_type == 23
+                                         else 0)
+    trace, _, _ = gcm_data_trace(metas, events, 1, OBJ)
+    perm = air.generate_perm_trace(trace, [], challenges)
+    publics = [int(v) for v in perm[-1, -4:]]
+    assert check_trace(air, trace, publics, perm_trace=perm,
+                       challenges=challenges) == []
+
+    # the false claim violates the inner-content-type constraints
+    metas, events = _v13_meta_and_events(inner_type, claim)
+    trace, _, _ = gcm_data_trace(metas, events, 1, OBJ)
+    perm = air.generate_perm_trace(trace, [], challenges)
+    publics = [int(v) for v in perm[-1, -4:]]
+    assert check_trace(air, trace, publics, perm_trace=perm,
+                       challenges=challenges) != []
+
+
 def test_forged_ct_block_rejected():
     chips, msgs = _setup()
     proof = prove_machine(chips, binding=b"gcmdata", config=CFG)

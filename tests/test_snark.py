@@ -127,6 +127,109 @@ def test_evm_simulation_matches_native_verify(tmp_path):
     assert {f.name for f in files} == {"vk.json", "VERIFIER_SPEC.md"}
 
 
+def test_generated_solidity_mimc_matches_wrap(tmp_path):
+    """ADVICE r3: execute the TEMPLATED Solidity mimcHash/journalChunks
+    semantics (constants parsed back out of the generated contract text)
+    and check the digest equals journal_digest_fr for several journal
+    lengths — a transcription bug in the template breaks this."""
+    import re
+
+    from zktls_tpu.snark.wrap import journal_digest_fr
+    from zktls_tpu.verifier_export import zktls_contract
+
+    sol = zktls_contract()
+    rr = int(re.search(r"uint256 constant RR =\s*(\d+);", sol).group(1))
+    chunk_bytes = int(re.search(
+        r"uint256 constant CHUNK_BYTES = (\d+);", sol).group(1))
+    max_chunks = int(re.search(
+        r"uint256 constant MAX_CHUNKS = (\d+);", sol).group(1))
+    rc = {int(m.group(1)): int(m.group(2))
+          for m in re.finditer(r"rc\[(\d+)\] = (\d+);", sol)}
+    n_rounds = int(re.search(r"rIdx < (\d+); rIdx\+\+", sol).group(1))
+    assert sorted(rc) == list(range(n_rounds))
+
+    def sol_journal_chunks(journal: bytes) -> list[int]:
+        # journalChunks as written in the contract
+        n = (len(journal) + chunk_bytes - 1) // chunk_bytes
+        assert n <= max_chunks - 1, "journal too long"
+        chunks = [0] * max_chunks
+        for i in range(n):
+            start = i * chunk_bytes
+            end = min(start + chunk_bytes, len(journal))
+            v = 0
+            for j in range(start, end):
+                v = (v << 8) | journal[j]
+            chunks[i] = v
+        chunks[max_chunks - 1] = len(journal)
+        return chunks
+
+    def sol_mimc_hash(chunks: list[int]) -> int:
+        # mimcHash as written in the contract
+        h = 0
+        for chunk in chunks:
+            m = chunk % rr
+            x = m
+            for r_idx in range(n_rounds):
+                t = (x + h + rc[r_idx]) % rr
+                t2 = t * t % rr
+                t4 = t2 * t2 % rr
+                x = t4 * t % rr
+            h = (x + h + m) % rr
+        return h
+
+    for journal in (b"", b"j", b"x" * 31, b"y" * 32, os.urandom(93),
+                    os.urandom(1088), b"z" * ((max_chunks - 1)
+                                              * chunk_bytes)):
+        assert sol_mimc_hash(sol_journal_chunks(journal)) == \
+            journal_digest_fr(journal), len(journal)
+
+
+def test_bundled_vk_param_gate(tmp_path, monkeypatch):
+    """ADVICE r3: the bundled wrap_vk.json is only used when its embedded
+    circuit parameters match the live circuit; on mismatch export falls
+    back to a fresh wrap_setup()."""
+    import zktls_tpu.snark.wrap as wrap_mod
+    from zktls_tpu.verifier_export import export_verifier
+
+    # matching params: bundle loads, no setup call
+    def boom(*a, **k):
+        raise AssertionError("wrap_setup must not run when bundle matches")
+
+    monkeypatch.setattr(wrap_mod, "wrap_setup", boom)
+    files = export_verifier("evm", tmp_path)
+    assert {f.name for f in files} == {"ZkTlsVerifier.sol",
+                                       "Groth16Verifier.sol", "vk.json"}
+    import json
+
+    exported = json.loads((tmp_path / "vk.json").read_text())
+    assert exported["circuit"] == wrap_mod.wrap_circuit_params()
+
+    # stale bundle: params differ → setup fallback is taken
+    monkeypatch.setattr(wrap_mod, "wrap_circuit_params",
+                        lambda seed=b"zktls-wrap-v1": {"max_chunks": -1})
+    called = {}
+
+    class FakeKeys:
+        def vk(self):
+            called["setup"] = True
+            import zktls_tpu.snark.wrap  # the real bundle's vk shape
+
+            raw = json.loads((tmp_path / "vk.json").read_text())
+            return {
+                "alpha1": tuple(raw["alpha1"]),
+                "beta2": (tuple(raw["beta2"][0]), tuple(raw["beta2"][1])),
+                "gamma2": (tuple(raw["gamma2"][0]),
+                           tuple(raw["gamma2"][1])),
+                "delta2": (tuple(raw["delta2"][0]),
+                           tuple(raw["delta2"][1])),
+                "ic": [tuple(p) for p in raw["ic"]],
+            }
+
+    monkeypatch.setattr(wrap_mod, "wrap_setup", lambda *a, **k: FakeKeys())
+    export_verifier("evm", tmp_path / "stale")
+    assert called.get("setup")
+
+
 @pytest.mark.skipif(not os.environ.get("ZKTLS_SLOW_TESTS"),
                     reason="fixed-size wrap setup+prove is minutes of pure "
                            "Python; set ZKTLS_SLOW_TESTS=1")

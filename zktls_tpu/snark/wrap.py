@@ -128,6 +128,14 @@ def build_wrap_circuit(journal: bytes) -> R1CS:
 MIMC_ROUND_CONSTANTS = _RC
 
 
+def wrap_circuit_params(seed: bytes = b"zktls-wrap-v1") -> dict:
+    """Identifying parameters of the wrap circuit + CRS seed — embedded in
+    exported/bundled vk.json files so a stale verifying key is detected at
+    load time (ADVICE r3)."""
+    return {"max_chunks": MAX_CHUNKS, "chunk_bytes": CHUNK_BYTES,
+            "n_rounds": N_ROUNDS, "seed": seed.decode()}
+
+
 def wrap_setup(journal_len_chunks: int | None = None,
                seed: bytes = b"zktls-wrap-v1") -> Groth16Keys:
     """ONE CRS for all journals: the circuit is fixed at MAX_CHUNKS

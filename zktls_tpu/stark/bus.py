@@ -82,10 +82,12 @@ BUS_GCM_LEN = 0x10C
 #: (eid, blk_idx, keystream 8×u16) — one keystream block E_K(ctr),
 #: control → GCM data chip (for plaintext recovery).
 BUS_GCM_KS = 0x10D
-#: (eid, crem, byte, rpos, is_resp, v13, obj) — one ciphertext byte located
-#: in the stream tape (crem = remaining ct bytes incl. this one; rpos = the
-#: byte's response position for response records, P−1 sentinel otherwise),
-#: parser → GCM data chip.
+#: (eid, crem, byte, rpos, is_resp, v13, obj, dir, isrb) — one ciphertext
+#: byte located in the stream tape (crem = remaining ct bytes incl. this
+#: one; rpos = the byte's app-stream position for app-stream bytes, P−1
+#: sentinel otherwise; dir = 0 client/request, 1 server/response; isrb =
+#: app-stream-byte marker, is_resp minus the TLS 1.3 inner-content-type
+#: byte), parser → GCM data chip.
 BUS_CT_BYTE = 0x10E
 #: (eid, seqno, rectype, ct_len, v13, is_resp) — one parsed GCM record's
 #: public metadata, parser → control chip.

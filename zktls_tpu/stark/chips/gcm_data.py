@@ -31,11 +31,20 @@ claiming a wrong (eid, blk_idx) double- or under-consumes some
 control-chip keystream send, and a wrong live-row count double- or
 under-consumes parser ciphertext-byte sends.
 
-Known 1.3 gap (documented): a response record's is_resp flag is
-journal-pinned and parser-checked for TLS 1.2; for TLS 1.3 an is_resp = 0
-claim on a true response record is not yet refuted in-circuit (needs the
-inner-content-type inequality check; response_hash keccak binding will
-close it).
+TLS 1.3 inner-content-type check (closes the round-3 is_resp hole): for
+every v13 event the LAST plaintext byte is the inner content type
+(rustls replay semantics, no-padding profile — see below), and the chip
+enforces  isr = 1 ⟺ that byte == 23 (ApplicationData).  A prover can
+therefore neither under-claim is_resp = 0 on a true application record
+(hiding its bytes from the response keccak / filtered matching) nor
+over-claim is_resp = 1 on a handshake record (injecting non-application
+bytes into the hashes): the parser's per-byte isr claim is bus-matched to
+this chip's column, and the decrypted type byte refutes a false flag.
+No-padding profile: a record whose sender appended RFC 8446 zero padding
+after the content type would fail to prove (the guest replay and
+record_walk's is_app detection already assume the unpadded layout);
+this is a documented completeness restriction, not a soundness gap —
+the tape is committed, so the padding bytes are not prover-choosable.
 """
 
 from __future__ import annotations
@@ -95,6 +104,12 @@ def _build_layout() -> _Layout:
     L.add("kshi"); L.add("kslo")   # keystream nibbles
     L.add("pthi"); L.add("ptlo")   # plaintext nibbles
     L.add("f")         # filtered-byte receive multiplicity
+    # TLS 1.3 inner-content-type gadget (last-ct-byte row detection)
+    L.add("czz")       # 1 iff crem == 0 (this row is the event's last byte)
+    L.add("czi")       # inverse witness for crem ≠ 0
+    L.add("lst")       # live · v13 · czz — the inner-type byte row
+    L.add("i23")       # inverse witness for ptby ≠ 23
+    L.add("ne23")      # 1 iff ptby ≠ 23 (materialized (ptby−23)·i23)
     L.add("ksl", 8)    # keystream block limbs (block-constant)
     L.add("ctl", 8)    # zero-padded ciphertext block limbs (block-const)
     return L
@@ -164,6 +179,21 @@ class GcmDataAir(Air):
                           * (c("ksl", j) - 256 * ksby - ksby_n))
         # filtered multiplicity only on live rows
         b.assert_zero(c("f") * (1 - live))
+
+        # --- TLS 1.3 inner content type ⟺ isr claim ---
+        # crem = ctlen − 1 − pos: zero exactly on the event's last ct byte
+        pos_e = (c("bidx") - 1) * 16 + prow
+        crem_e = c("ctlen") - 1 - pos_e
+        b.assert_zero(crem_e * c("czz"))                   # czz ⟹ crem = 0
+        b.assert_zero(c("czz") - 1 + crem_e * c("czi"))    # crem ≠ 0 ⟹ czz = 0
+        b.assert_zero(c("lst") - live * c("v13") * c("czz"))
+        # the last byte of a v13 record is the inner content type:
+        # isr = 1 ⟹ type == 23; isr = 0 ⟹ type ≠ 23 (via materialized
+        # nonzero witness ne23 = (ptby−23)·i23, which can only be 1 when
+        # ptby ≠ 23)
+        b.assert_zero(c("ne23") - (ptby - 23) * c("i23"))
+        b.assert_zero(c("lst") * c("isr") * (ptby - 23))
+        b.assert_zero(c("lst") * (1 - c("isr")) * (1 - c("ne23")))
 
         # --- bus ---
         gamma = b.challenges[0]
@@ -353,4 +383,34 @@ def gcm_data_trace(records, gcm_events, v13: int = 0, obj: int = 1,
         full = np.concatenate(
             [full, np.zeros((n - n_real, L.width), dtype=np.uint32)],
             axis=0)
+    # inner-content-type gadget columns (vectorized over the whole trace,
+    # dead rows included — czz/czi satisfy their iszero identities
+    # everywhere)
+    prow = np.arange(full.shape[0], dtype=np.int64) % 16
+    bidx = full[:, L["bidx"].start].astype(np.int64)
+    ctlen = full[:, L["ctlen"].start].astype(np.int64)
+    crem = (ctlen - 1 - ((bidx - 1) * 16 + prow)) % P
+    full[:, L["czz"].start] = (crem == 0).astype(np.uint32)
+    full[:, L["czi"].start] = _np_inv_or_zero(crem.astype(np.uint64))
+    full[:, L["lst"].start] = (full[:, L["live"].start]
+                               * full[:, L["v13"].start]
+                               * full[:, L["czz"].start])
+    ptby = (full[:, L["pthi"].start].astype(np.int64) * 16
+            + full[:, L["ptlo"].start].astype(np.int64))
+    d23 = (ptby - 23) % P
+    full[:, L["i23"].start] = _np_inv_or_zero(d23.astype(np.uint64))
+    full[:, L["ne23"].start] = (d23 != 0).astype(np.uint32)
     return full, [], xor_pairs
+
+
+def _np_inv_or_zero(a: np.ndarray) -> np.ndarray:
+    """Vectorized Baby-Bear Fermat inverse; 0 ↦ 0.  uint64 in, uint32 out."""
+    inv = np.ones_like(a)
+    base = a % P
+    e = P - 2
+    while e:
+        if e & 1:
+            inv = (inv * base) % P
+        base = (base * base) % P
+        e >>= 1
+    return np.where(a % P == 0, 0, inv).astype(np.uint32)

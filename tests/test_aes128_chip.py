@@ -10,9 +10,9 @@ from zktls_tpu.ops.field_ref import Fp4
 from zktls_tpu.stark.bus import (
     BUS_AES_ENC,
     MAX_PAYLOAD,
+    aes_enc_payload,
     bus_term,
     delta_powers,
-    u16_limbs,
 )
 from zktls_tpu.stark.chips.aes128 import LAYOUT, Aes128Air, aes128_trace
 from zktls_tpu.stark.debug import check_trace
@@ -41,7 +41,7 @@ def test_single_block_fips_vector_and_bus_send():
     # the chip's bus sum is exactly one AES_ENC send of this block
     _, bus = _bus_sum(trace)
     ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
-    payload = [3] + u16_limbs(key) + u16_limbs(pt) + u16_limbs(ct)
+    payload = aes_enc_payload(3, key, pt, ct)
     assert Fp4(*bus) == bus_term(CHALS, BUS_AES_ENC, payload)
 
 
@@ -112,7 +112,7 @@ def test_padding_groups_are_silent():
     assert int(trace[:, LAYOUT["ms"].start].sum()) == 16  # one live group
     _, bus = _bus_sum(trace)
     ct = AES(key).encrypt_block(bytes(16))
-    payload = [7] + u16_limbs(key) + u16_limbs(bytes(16)) + u16_limbs(ct)
+    payload = aes_enc_payload(7, key, bytes(16), ct)
     assert Fp4(*bus) == bus_term(CHALS, BUS_AES_ENC, payload)
 
 

@@ -93,6 +93,8 @@ class ReplayResult:
     # witness event streams for AIR trace generation
     sha256_recorder: SHA256Recorder = field(repr=False, default_factory=SHA256Recorder)
     gcm_events: list[GCMEvent] = field(repr=False, default_factory=list)
+    #: SHA-512 recorder for SHA-384 suites (None for SHA-256 suites)
+    sha512_recorder: object | None = field(repr=False, default=None)
     checks: dict[str, bool] = field(default_factory=dict)
 
     def all_checks_pass(self) -> bool:
@@ -191,8 +193,23 @@ def _replay_tls12(
         raise ReplayError(
             "session lacks extended master secret (rustls requires RFC 7627)"
         )
-    if suite.hash != "sha256":
-        raise ReplayError("only SHA-256 suites supported so far")
+    # hash family: SHA-384 suites (0xC030 etc.) hash transcript + PRF
+    # through the SHA-512 recorder so the SHA-512 chip proves them
+    if suite.hash == "sha384":
+        from .crypto.prf import prf_sha384
+        from .crypto.sha512 import SHA512Recorder
+
+        rec512 = SHA512Recorder()
+        hash_new = rec512.new384
+
+        def prf(secret, label, seed, n):
+            return prf_sha384(secret, label, seed, n, rec512)
+    else:
+        rec512 = None
+        hash_new = rec.new
+
+        def prf(secret, label, seed, n):
+            return prf_sha256(secret, label, seed, n, rec)
 
     # Plaintext server handshake messages through ServerHelloDone (transcript
     # order); anything after SHD on the plaintext stream (e.g.
@@ -247,16 +264,16 @@ def _replay_tls12(
     # --- extended master secret (RFC 7627): session_hash over transcript
     # through ClientKeyExchange ---
     transcript = [client_hello_raw] + [m.raw for m in server_plain_hs] + [ckx_msg.raw]
-    h = rec.new()
+    h = hash_new()
     for m in transcript:
         h.update(m)
     session_hash = h.digest()
-    master = prf_sha256(premaster, b"extended master secret", session_hash, 48, rec)
+    master = prf(premaster, b"extended master secret", session_hash, 48)
 
     # --- key block (RFC 5246 §6.3): for AEAD suites only keys + fixed IVs ---
-    key_block = prf_sha256(
+    key_block = prf(
         master, b"key expansion", sh.server_random + ch.client_random,
-        2 * suite.key_len + 2 * suite.fixed_iv_len, rec,
+        2 * suite.key_len + 2 * suite.fixed_iv_len,
     )
     off = 0
     client_key = key_block[off : off + suite.key_len]; off += suite.key_len
@@ -302,10 +319,10 @@ def _replay_tls12(
     cfin_msgs = iter_handshake_messages(cfin_plain)
     if cfin_msgs[0].typ != HandshakeType.FINISHED:
         raise ReplayError("client Finished record does not contain Finished")
-    h = rec.new()
+    h = hash_new()
     for m in transcript:
         h.update(m)
-    client_verify = prf_sha256(master, b"client finished", h.digest(), 12, rec)
+    client_verify = prf(master, b"client finished", h.digest(), 12)
     client_finished_ok = cfin_msgs[0].body == client_verify
     checks["client_finished"] = client_finished_ok
     transcript.append(cfin_msgs[0].raw)
@@ -329,10 +346,10 @@ def _replay_tls12(
     sfin_msgs = iter_handshake_messages(sfin_plain)
     if sfin_msgs[0].typ != HandshakeType.FINISHED:
         raise ReplayError("server Finished record does not contain Finished")
-    h = rec.new()
+    h = hash_new()
     for m in transcript:
         h.update(m)
-    server_verify = prf_sha256(master, b"server finished", h.digest(), 12, rec)
+    server_verify = prf(master, b"server finished", h.digest(), 12)
     server_finished_ok = sfin_msgs[0].body == server_verify
     checks["server_finished"] = server_finished_ok
 
@@ -401,6 +418,7 @@ def _replay_tls12(
         handshake_transcript=transcript,
         sha256_recorder=rec,
         gcm_events=gcm_events,
+        sha512_recorder=rec512,
         checks=checks,
     )
 
@@ -424,8 +442,14 @@ def _replay_tls13(
     Finished transcript proofs re-checked."""
     from .tls13 import Tls13KeySchedule, Tls13RecordCrypto, strip_inner_plaintext
 
-    if suite.hash != "sha256":
-        raise ReplayError("only SHA-256 suites supported so far")
+    if suite.hash == "sha384":
+        from .crypto.sha512 import SHA512Recorder
+
+        rec512 = SHA512Recorder()
+        hash_new = rec512.new384
+    else:
+        rec512 = None
+        hash_new = rec.new
     if len(server_hs) != 1:
         # in 1.3 only ServerHello is plaintext handshake on the server side
         raise ReplayError("unexpected plaintext server handshake after SH")
@@ -444,20 +468,22 @@ def _replay_tls13(
         ch.key_shares().get(29) == x25519_base(x25519_priv)
     )
 
-    sched = Tls13KeySchedule(suite, rec)
+    sched = Tls13KeySchedule(suite, rec, rec512)
     sched.start(shared)
     transcript = [client_hello_raw, server_hs[0].raw]
 
     def thash() -> bytes:
-        h = rec.new()
+        h = hash_new()
         for m in transcript:
             h.update(m)
         return h.digest()
 
     sched.handshake_traffic(thash())
     gcm_events: list[GCMEvent] = []
-    server_crypto = Tls13RecordCrypto(suite, sched.server_hs_secret, rec)
-    client_crypto = Tls13RecordCrypto(suite, sched.client_hs_secret, rec)
+    server_crypto = Tls13RecordCrypto(suite, sched.server_hs_secret, rec,
+                                      rec512)
+    client_crypto = Tls13RecordCrypto(suite, sched.client_hs_secret, rec,
+                                      rec512)
 
     def _dec(crypto, r):
         try:
@@ -525,7 +551,7 @@ def _replay_tls13(
                     app_transcript_hash = thash()
                     sched.application_traffic(app_transcript_hash)
                     server_app_crypto = Tls13RecordCrypto(
-                        suite, sched.server_app_secret, rec)
+                        suite, sched.server_app_secret, rec, rec512)
                     got_server_finished = True
                     break
                 transcript.append(m.raw)
@@ -559,7 +585,7 @@ def _replay_tls13(
 
     # --- client application data ---
     client_app_crypto = Tls13RecordCrypto(
-        suite, sched.client_app_secret, rec)
+        suite, sched.client_app_secret, rec, rec512)
     request_plain = bytearray()
     for r in cfin_records[1:]:
         plain = _dec(client_app_crypto, r)
@@ -603,6 +629,7 @@ def _replay_tls13(
         handshake_transcript=transcript,
         sha256_recorder=rec,
         gcm_events=gcm_events,
+        sha512_recorder=rec512,
         checks=checks,
     )
 

@@ -22,10 +22,13 @@ __all__ = ["Tls13KeySchedule", "Tls13RecordCrypto", "strip_inner_plaintext"]
 
 @dataclass
 class Tls13KeySchedule:
-    """The SHA-256 HKDF schedule; secrets exposed for witness generation."""
+    """The HKDF schedule over the suite's hash (SHA-256 or SHA-384);
+    secrets exposed for witness generation.  SHA-384 suites hash through
+    the SHA-512 recorder so their compressions reach the SHA-512 chip."""
 
     suite: CipherSuite
     rec: SHA256Recorder | None = None
+    rec512: object | None = None   # SHA512Recorder for SHA-384 suites
     early_secret: bytes = b""
     handshake_secret: bytes = b""
     master_secret: bytes = b""
@@ -35,46 +38,65 @@ class Tls13KeySchedule:
     server_app_secret: bytes = b""
     secrets_log: dict = field(default_factory=dict)
 
-    def start(self, shared_secret: bytes) -> None:
-        zeros = b"\x00" * 32
-        self.early_secret = hkdf_extract(zeros, zeros, self.rec)
+    @property
+    def hash_len(self) -> int:
+        return 48 if self.suite.hash == "sha384" else 32
+
+    def _hmac(self):
+        if self.suite.hash == "sha384":
+            from .crypto.prf import hmac_sha384
+
+            return lambda k, m: hmac_sha384(k, m, self.rec512)
+        return lambda k, m: hmac_sha256(k, m, self.rec)
+
+    def _empty_hash(self) -> bytes:
         import hashlib
 
-        empty_hash = hashlib.sha256(b"").digest()
-        derived = hkdf_expand_label(self.early_secret, b"derived",
-                                    empty_hash, 32, self.rec)
-        self.handshake_secret = hkdf_extract(derived, shared_secret, self.rec)
+        return (hashlib.sha384(b"").digest() if self.suite.hash == "sha384"
+                else hashlib.sha256(b"").digest())
+
+    def _expand_label(self, secret, label, context, out_len) -> bytes:
+        return hkdf_expand_label(secret, label, context, out_len,
+                                 hmac_fn=self._hmac())
+
+    def start(self, shared_secret: bytes) -> None:
+        hl = self.hash_len
+        zeros = b"\x00" * hl
+        self.early_secret = hkdf_extract(zeros, zeros, hmac_fn=self._hmac(),
+                                         hash_len=hl)
+        derived = self._expand_label(self.early_secret, b"derived",
+                                     self._empty_hash(), hl)
+        self.handshake_secret = hkdf_extract(derived, shared_secret,
+                                             hmac_fn=self._hmac(),
+                                             hash_len=hl)
 
     def handshake_traffic(self, transcript_hash: bytes) -> None:
-        self.client_hs_secret = hkdf_expand_label(
-            self.handshake_secret, b"c hs traffic", transcript_hash, 32,
-            self.rec)
-        self.server_hs_secret = hkdf_expand_label(
-            self.handshake_secret, b"s hs traffic", transcript_hash, 32,
-            self.rec)
+        hl = self.hash_len
+        self.client_hs_secret = self._expand_label(
+            self.handshake_secret, b"c hs traffic", transcript_hash, hl)
+        self.server_hs_secret = self._expand_label(
+            self.handshake_secret, b"s hs traffic", transcript_hash, hl)
         self.secrets_log["c_hs"] = self.client_hs_secret
         self.secrets_log["s_hs"] = self.server_hs_secret
 
     def application_traffic(self, transcript_hash: bytes) -> None:
-        import hashlib
-
-        empty_hash = hashlib.sha256(b"").digest()
-        derived = hkdf_expand_label(self.handshake_secret, b"derived",
-                                    empty_hash, 32, self.rec)
-        self.master_secret = hkdf_extract(derived, b"\x00" * 32, self.rec)
-        self.client_app_secret = hkdf_expand_label(
-            self.master_secret, b"c ap traffic", transcript_hash, 32,
-            self.rec)
-        self.server_app_secret = hkdf_expand_label(
-            self.master_secret, b"s ap traffic", transcript_hash, 32,
-            self.rec)
+        hl = self.hash_len
+        derived = self._expand_label(self.handshake_secret, b"derived",
+                                     self._empty_hash(), hl)
+        self.master_secret = hkdf_extract(derived, b"\x00" * hl,
+                                          hmac_fn=self._hmac(), hash_len=hl)
+        self.client_app_secret = self._expand_label(
+            self.master_secret, b"c ap traffic", transcript_hash, hl)
+        self.server_app_secret = self._expand_label(
+            self.master_secret, b"s ap traffic", transcript_hash, hl)
         self.secrets_log["c_ap"] = self.client_app_secret
         self.secrets_log["s_ap"] = self.server_app_secret
 
     def finished_verify(self, base_secret: bytes, transcript_hash: bytes
                         ) -> bytes:
-        fk = hkdf_expand_label(base_secret, b"finished", b"", 32, self.rec)
-        return hmac_sha256(fk, transcript_hash, self.rec)
+        fk = self._expand_label(base_secret, b"finished", b"",
+                                self.hash_len)
+        return self._hmac()(fk, transcript_hash)
 
 
 class Tls13RecordCrypto:
@@ -82,10 +104,17 @@ class Tls13RecordCrypto:
     nonce = iv XOR seq (RFC 8446 §5.3)."""
 
     def __init__(self, suite: CipherSuite, secret: bytes,
-                 rec: SHA256Recorder | None = None):
+                 rec: SHA256Recorder | None = None, rec512=None):
         self.suite = suite
-        self.key = hkdf_expand_label(secret, b"key", b"", suite.key_len, rec)
-        self.iv = hkdf_expand_label(secret, b"iv", b"", 12, rec)
+        if suite.hash == "sha384":
+            from .crypto.prf import hmac_sha384
+
+            hmac_fn = lambda k, m: hmac_sha384(k, m, rec512)  # noqa: E731
+        else:
+            hmac_fn = lambda k, m: hmac_sha256(k, m, rec)  # noqa: E731
+        self.key = hkdf_expand_label(secret, b"key", b"", suite.key_len,
+                                     hmac_fn=hmac_fn)
+        self.iv = hkdf_expand_label(secret, b"iv", b"", 12, hmac_fn=hmac_fn)
         self.aead = (AESGCM(self.key) if suite.aead == "aes-gcm"
                      else ChaCha20Poly1305(self.key))
         self.seq = 0

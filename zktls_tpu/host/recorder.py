@@ -122,10 +122,12 @@ class _RecordingSocket:
 # ClientHello construction
 # ---------------------------------------------------------------------------
 
-# The recorded rustls offers the SHA-384 suites (c02c/c030/1302) too; this
+# The recorded rustls offers this same suite list; since round 4 the
 # client omits them until the SHA-384 schedule lands — a client must not
-# offer a suite it cannot complete.
-_OFFERED_SUITES = [0xC02B, 0xCCA9, 0xC02F, 0xCCA8, 0x1301, 0x1303]
+# recorder completes SHA-384 suites too (prf_sha384 + SHA-384
+# transcript), so the full rustls set is offered.
+_OFFERED_SUITES = [0xC02B, 0xC02C, 0xCCA9, 0xC02F, 0xC030, 0xCCA8,
+                   0x1301, 0x1302, 0x1303]
 _SIG_ALGS = [0x0403, 0x0503, 0x0807, 0x0804, 0x0805, 0x0806,
              0x0401, 0x0501, 0x0601]
 _GROUPS = [29, 23, 24]  # x25519, P-256, P-384
@@ -237,8 +239,11 @@ def _handshake_and_exchange(sock: _RecordingSocket, rng: _RecordingRng,
         raise RecordingError(f"unsupported suite {sh.cipher_suite:#06x}")
     if not sh.has_extended_master_secret:
         raise RecordingError("server lacks extended_master_secret (RFC 7627)")
-    if suite.hash != "sha256":
-        raise RecordingError("only SHA-256 suites supported")
+    if suite.hash == "sha384":
+        from ..guest.crypto.prf import prf_sha384 as _prf
+        from ..guest.crypto.sha512 import SHA384 as _Hash
+    else:
+        _prf, _Hash = prf_sha256, SHA256
 
     shd_idx = next(i for i, m in enumerate(msgs)
                    if m.typ == HandshakeType.SERVER_HELLO_DONE)
@@ -273,12 +278,12 @@ def _handshake_and_exchange(sock: _RecordingSocket, rng: _RecordingRng,
     transcript.append(ckx)
 
     # --- key schedule (RFC 7627 extended master secret) ---
-    h = SHA256()
+    h = _Hash()
     for m in transcript:
         h.update(m)
     session_hash = h.digest()
-    master = prf_sha256(premaster, b"extended master secret", session_hash, 48)
-    key_block = prf_sha256(
+    master = _prf(premaster, b"extended master secret", session_hash, 48)
+    key_block = _prf(
         master, b"key expansion", sh.server_random + client_random,
         2 * suite.key_len + 2 * suite.fixed_iv_len)
     off = 0
@@ -312,10 +317,10 @@ def _handshake_and_exchange(sock: _RecordingSocket, rng: _RecordingRng,
         return server_aead.decrypt(nonce, body, aad)
 
     # --- client CCS + Finished ---
-    h = SHA256()
+    h = _Hash()
     for m in transcript:
         h.update(m)
-    verify_data = prf_sha256(master, b"client finished", h.digest(), 12)
+    verify_data = _prf(master, b"client finished", h.digest(), 12)
     fin = (bytes([HandshakeType.FINISHED]) + len(verify_data).to_bytes(3, "big")
            + verify_data)
     sock.write(_record(ContentType.CHANGE_CIPHER_SPEC, b"\x01"))
@@ -342,10 +347,10 @@ def _handshake_and_exchange(sock: _RecordingSocket, rng: _RecordingRng,
             fin_msgs = iter_handshake_messages(plain)
             if fin_msgs[0].typ != HandshakeType.FINISHED:
                 raise RecordingError("expected server Finished")
-            h = SHA256()
+            h = _Hash()
             for m in transcript:
                 h.update(m)
-            expect = prf_sha256(master, b"server finished", h.digest(), 12)
+            expect = _prf(master, b"server finished", h.digest(), 12)
             if fin_msgs[0].body != expect:
                 raise RecordingError("server Finished verify_data mismatch")
             break
@@ -400,7 +405,7 @@ def _handshake13(sock: _RecordingSocket, sh: ServerHello, sh_raw: bytes,
     )
 
     suite = CIPHER_SUITES.get(sh.cipher_suite)
-    if suite is None or not suite.tls13 or suite.hash != "sha256":
+    if suite is None or not suite.tls13:
         raise RecordingError(f"unsupported 1.3 suite {sh.cipher_suite:#06x}")
     ks_data = sh.extensions.get(51)
     if ks_data is None:
@@ -416,8 +421,13 @@ def _handshake13(sock: _RecordingSocket, sh: ServerHello, sh_raw: bytes,
     sched.start(shared)
     transcript = [ch_raw, sh_raw]
 
+    if suite.hash == "sha384":
+        from ..guest.crypto.sha512 import SHA384 as _Hash13
+    else:
+        _Hash13 = SHA256
+
     def thash() -> bytes:
-        h = SHA256()
+        h = _Hash13()
         for m in transcript:
             h.update(m)
         return h.digest()

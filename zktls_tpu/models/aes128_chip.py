@@ -33,3 +33,24 @@ def aes_event_blocks(events: list[GCMEvent]) -> list[tuple[int, bytes, bytes]]:
 def aes128_instance(events: list[GCMEvent]) -> ChipInstance:
     trace, publics = aes128_trace(aes_event_blocks(events))
     return ChipInstance(air=_AIR, trace=trace, publics=publics)
+
+
+def aes_instances(events: list[GCMEvent]) -> list[ChipInstance]:
+    """Route each GCM event to the AES chip matching its key size
+    (AES-128 or AES-256 — SHA-384 suites use 32-byte keys); event ids
+    stay the global enumeration, so the control chip's receives match
+    regardless of which chip served the block."""
+    from ..stark.chips.aes256 import Aes256Air, aes256_trace
+
+    blocks = aes_event_blocks(events)
+    b128 = [b for b in blocks if len(b[1]) == 16]
+    b256 = [b for b in blocks if len(b[1]) == 32]
+    out = []
+    if b128:
+        trace, publics = aes128_trace(b128)
+        out.append(ChipInstance(air=_AIR, trace=trace, publics=publics))
+    if b256:
+        trace, publics = aes256_trace(b256)
+        out.append(ChipInstance(air=Aes256Air(), trace=trace,
+                                publics=publics))
+    return out

@@ -130,6 +130,49 @@ def compress_level(digests: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=0)
 
 
+@lru_cache(maxsize=None)
+def _tree_fn(n: int, w: int):
+    """Fully-fused Merkle tree for a (n, w) matrix: leaf sponge + EVERY
+    compression level in ONE compiled program — one device dispatch per
+    tree instead of ~log2(n) (dispatch latency through the tunneled TPU
+    dominates the r3 prove profile).  The leaf sponge runs under lax.map
+    over CHUNK-row slices so the traced graph stays one chunk body."""
+
+    def sponge(rows):
+        n_blocks = -(-w // LEAF_RATE)
+        k = rows.shape[0]
+        state = jnp.zeros((k, LEAF_WIDTH), dtype=jnp.uint32)
+        for i in range(n_blocks):
+            chunk = rows[:, i * LEAF_RATE : (i + 1) * LEAF_RATE]
+            if chunk.shape[1] < LEAF_RATE:
+                pad = jnp.zeros((k, LEAF_RATE - chunk.shape[1]),
+                                jnp.uint32)
+                chunk = jnp.concatenate([chunk, pad], axis=1)
+            absorbed = bb.add(state[:, :LEAF_RATE], chunk)
+            state = jnp.concatenate([absorbed, state[:, LEAF_RATE:]],
+                                    axis=1)
+            state = permute_batch(state)
+        return state[:, :DIGEST_WIDTH]
+
+    @jax.jit
+    def f(rows):
+        if n <= CHUNK:
+            leaf = sponge(rows)
+        else:
+            leaf = jax.lax.map(
+                sponge, rows.reshape(n // CHUNK, CHUNK, w)
+            ).reshape(n, DIGEST_WIDTH)
+        levels = [leaf]
+        cur = leaf
+        while cur.shape[0] > 1:
+            pairs = cur.reshape(cur.shape[0] // 2, 2 * DIGEST_WIDTH)
+            cur = permute_batch(pairs)[:, :DIGEST_WIDTH]
+            levels.append(cur)
+        return tuple(levels)
+
+    return f
+
+
 class MerkleTree:
     """Bottom-up tree over row digests; retains every level for openings.
 
@@ -142,11 +185,22 @@ class MerkleTree:
         n = rows.shape[0]
         if n & (n - 1):
             raise ValueError("leaf count must be a power of two")
-        device_levels = [hash_rows(rows)]
-        while device_levels[-1].shape[0] > 1:
-            device_levels.append(compress_level(device_levels[-1]))
-        self.levels = device_levels  # Montgomery, device (for reuse)
+        if os.environ.get("ZKTLS_FUSED_TREE", "1") != "0":
+            self.levels = list(_tree_fn(n, int(rows.shape[1]))(rows))
+        else:
+            device_levels = [hash_rows(rows)]
+            while device_levels[-1].shape[0] > 1:
+                device_levels.append(compress_level(device_levels[-1]))
+            self.levels = device_levels  # Montgomery, device (for reuse)
         self._levels_np = None
+
+    @classmethod
+    def from_levels(cls, levels) -> "MerkleTree":
+        """Wrap pre-computed device levels (e.g. from a fused program)."""
+        t = cls.__new__(cls)
+        t.levels = list(levels)
+        t._levels_np = None
+        return t
 
     @property
     def levels_np(self):

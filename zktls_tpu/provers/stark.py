@@ -56,7 +56,7 @@ def _filtered_multiplicities(journal: bytes, obj: int = 1) -> list[tuple]:
 
 def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
     """The machine chip set for a guest execution."""
-    from ..models.aes128_chip import aes128_instance
+    from ..models.aes128_chip import aes_instances
     from ..models.ghash_chip import gcm_control_instance, ghash_instance
     from ..models.modmul_chip import modmul_instances
     from ..models.sha256_chip import sha256_instance
@@ -73,9 +73,19 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
     )
 
     chips = [sha256_instance(out.replay.sha256_recorder.events)]
+    rec512 = getattr(out.replay, "sha512_recorder", None)
+    if rec512 is not None and rec512.events:
+        # SHA-384 suites: transcript/PRF/HKDF compressions on the SHA-512
+        # chip (IV-rooted chains; composition into the key schedule is
+        # the round-5 EC/KDF binding track)
+        from ..stark.chips.sha512 import Sha512Air, sha512_trace
+
+        trace512, p512 = sha512_trace(rec512.events)
+        chips.append(ChipInstance(air=Sha512Air(), trace=trace512,
+                                  publics=p512))
     if out.replay.gcm_events:
         events = out.replay.gcm_events
-        chips.append(aes128_instance(events))
+        chips.extend(aes_instances(events))
         chips.append(ghash_instance(events))
         chips.append(gcm_control_instance(events, metas=out.gcm_metas,
                                           v13=out.v13))
@@ -130,10 +140,15 @@ def _air_registry() -> dict:
     from ..stark.chips.stream_parser import StreamParserAir
     from ..stark.chips.xor_table import XorTableAir
 
+    from ..stark.chips.aes256 import Aes256Air
+    from ..stark.chips.sha512 import Sha512Air
+
     return {
         "KeccakAir": KeccakAir,
         "Sha256Air": sha256_air,
+        "Sha512Air": Sha512Air,
         "Aes128Air": aes128_air,
+        "Aes256Air": Aes256Air,
         "GhashAir": ghash_air,
         "GcmControlAir": gcm_control_air,
         "StreamParserAir": StreamParserAir,
@@ -163,14 +178,18 @@ def journal_airs(journal: bytes | list[bytes], proof: MachineProof) -> list:
     journals = [journal] if isinstance(journal, (bytes, bytearray)) \
         else list(journal)
     required = {"Sha256Air", "ModMul256Air"}
+    need_aes = False
     for jb in journals:
         j = decode_journal(jb)
         if j["gcm_records"]:
-            required |= {"Aes128Air", "GhashAir", "GcmControlAir",
+            required |= {"GhashAir", "GcmControlAir",
                          "StreamParserAir", "GcmDataAir", "XorTableAir",
                          "KeccakAir"}
+            need_aes = True
     names = {cp.name for cp in proof.chips}
     missing = required - names
+    if need_aes and not ({"Aes128Air", "Aes256Air"} & names):
+        missing |= {"Aes128Air|Aes256Air"}
     if missing:
         from ..stark.verifier import VerificationError
 
@@ -264,6 +283,7 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
     merged.replay = _copy.copy(outs[0].replay)
     rec = SHA256Recorder()
     sha_events = []
+    sha512_events = []
     gcm_events = []
     modmul_events = []
     metas = []
@@ -293,11 +313,25 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
                 metas.append(m2)
             filtered.extend(_filtered_multiplicities(out.journal,
                                                      obj=i + 1))
+        r512 = getattr(out.replay, "sha512_recorder", None)
+        if r512 is not None:
+            for e in r512.events:
+                e2 = _copy.copy(e)
+                e2.obj = e.obj + off
+                sha512_events.append(e2)
         gcm_events.extend(out.replay.gcm_events)
         eid_off += len(out.replay.gcm_events)
         modmul_events.extend(out.modmul_events)
     rec.events = sha_events
     merged.replay.sha256_recorder = rec
+    if sha512_events:
+        from ..guest.crypto.sha512 import SHA512Recorder
+
+        rec512 = SHA512Recorder()
+        rec512.events = sha512_events
+        merged.replay.sha512_recorder = rec512
+    else:
+        merged.replay.sha512_recorder = None
     merged.replay.gcm_events = gcm_events
     merged.modmul_events = modmul_events
     merged.gcm_metas = metas

@@ -27,7 +27,8 @@ import numpy as np
 from ..ops.field_ref import Fp4, P
 
 __all__ = [
-    "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_AES_ENC", "BUS_GCM_H",
+    "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_SHA512_STATE",
+    "BUS_SHA512_RESULT", "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
     "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
@@ -37,6 +38,7 @@ __all__ = [
     "MAX_PAYLOAD", "NUM_MACHINE_CHALLENGES",
     "bus_fingerprint", "bus_term", "delta_powers",
     "u16_limbs", "digest_limbs", "np_bus_inverse_terms",
+    "aes_enc_payload",
 ]
 
 # ---------------------------------------------------------------------------
@@ -50,8 +52,11 @@ BUS_SHA_STATE = 0x101
 #: (result_tag, digest 16×u16) — a tagged final compression publishes its
 #: digest; the verifier receives it against journal-derived values.
 BUS_SHA_RESULT = 0x102
-#: (event_id, key 8×u16, input 8×u16, output 8×u16) — one AES-128 block
-#: encryption, sent by the AES chip, received by the GCM control chip.
+#: (event_id, kv, key_lo 8×u16, key_hi 8×u16, input 8×u16, output 8×u16)
+#: — one AES block encryption, sent by the AES chip, received by the GCM
+#: control chip.  kv = 0: AES-128 (key_hi = 0); kv = 1: AES-256 (key =
+#: key_lo ‖ key_hi).  The variant flag is IN the fingerprint, so an
+#: AES-256 block can never satisfy an AES-128 receive (or vice versa).
 BUS_AES_ENC = 0x103
 #: (event_id, H 8×u16) — the GHASH key H = E_K(0^16), sent by the GCM
 #: control chip, received by the GHASH chip at the event's start.
@@ -111,14 +116,20 @@ BUS_HASH_BYTE = 0x114
 #: (obj, dir, digest 16×u16) — keccak256 of an application stream,
 #: keccak chip → verifier (the journal's request_hash / response_hash).
 BUS_HASH_RESULT = 0x115
+#: (obj, seq, iv384, state 32×u16) — SHA-512-family chaining (the SHA-384
+#: suites' transcript/PRF compressions; semantics mirror BUS_SHA_STATE,
+#: with iv384 marking chains rooted at the SHA-384 IV).
+BUS_SHA512_STATE = 0x116
+#: (result_tag, digest 32×u16) — a tagged SHA-512-family digest.
+BUS_SHA512_RESULT = 0x117
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes
 RESULT_TAG_STREAM = 2    # digest of the full stream tape (in the journal)
 
-#: maximum payload length any message uses (AES_ENC: 1 + 8 + 8 + 8 = 25;
-#: SHA_STATE: 2 + 16 = 18; GCM_RECORD: 1 + 6 + 8 + 1 = 16)
-MAX_PAYLOAD = 26
+#: maximum payload length any message uses (SHA512_STATE: 3 + 32 = 35;
+#: AES_ENC: 2 + 16 + 8 + 8 = 34; SHA_STATE: 3 + 16 = 19)
+MAX_PAYLOAD = 35
 
 #: machine challenge vector: [γ, δ, δ², …, δ^MAX_PAYLOAD] — powers are
 #: host-precomputed so in-AIR fingerprints stay degree 1 in trace columns.
@@ -150,6 +161,20 @@ def bus_fingerprint(challenges: list[Fp4], tag: int,
 def bus_term(challenges: list[Fp4], tag: int, payload: list[int]) -> Fp4:
     """1/(γ − fp) — the LogUp term one message contributes."""
     return (challenges[0] - bus_fingerprint(challenges, tag, payload)).inv()
+
+
+def aes_enc_payload(eid: int, key: bytes, inp: bytes,
+                    out: bytes) -> list[int]:
+    """The BUS_AES_ENC payload for a block encryption: (eid, kv, key_lo,
+    key_hi, input, output) with kv/key_hi derived from the key length."""
+    if len(key) == 16:
+        kv, key_lo, key_hi = 0, key, b"\x00" * 16
+    elif len(key) == 32:
+        kv, key_lo, key_hi = 1, key[:16], key[16:]
+    else:
+        raise ValueError("AES key must be 16 or 32 bytes")
+    return ([eid, kv] + u16_limbs(key_lo) + u16_limbs(key_hi)
+            + u16_limbs(inp) + u16_limbs(out))
 
 
 def u16_limbs(data: bytes) -> list[int]:

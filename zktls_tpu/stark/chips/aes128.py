@@ -268,13 +268,15 @@ class Aes128Air(Air):
                 xor_pack = t_ if xor_pack is None else xor_pack + t_
             b.assert_zero(is_r0 * (loc("inb", j) - xor_pack))
 
-        # --- bus send: (AES_ENC, eid, key, input, output) on each real
-        # group's last row, consumed by the GCM control chip ---
+        # --- bus send: (AES_ENC, eid, kv=0, key_lo, key_hi=0, input,
+        # output) on each real group's last row, consumed by the GCM
+        # control chip (the kv/key_hi payload positions are shared with
+        # the AES-256 chip and contribute 0 here) ---
         fp_send = ExtVal.from_base(BUS_AES_ENC) + dpow(0) * eid
         for j in range(8):
-            fp_send = fp_send + dpow(1 + j) * loc("key", j)
-            fp_send = fp_send + dpow(9 + j) * loc("inb", j)
-            fp_send = fp_send + dpow(17 + j) * limb16("st", j)
+            fp_send = fp_send + dpow(2 + j) * loc("key", j)
+            fp_send = fp_send + dpow(18 + j) * loc("inb", j)
+            fp_send = fp_send + dpow(26 + j) * limb16("st", j)
         inv_send = b.perm_ext(N_LOOKUPS + 1)
         b.assert_ext_zero(inv_send * (gamma - fp_send) - 1)
 
@@ -419,7 +421,9 @@ class Aes128Air(Air):
             sl = L["st"].start + 16 * j
             bits = main[:, sl : sl + 16].astype(np.uint64)
             out_l[:, j] = (bits * limb_w[None, :]).sum(axis=1)
-        send_pl = np.concatenate([eid[:, None], key, inb, out_l], axis=1)
+        zeros8 = np.zeros((n, 8), dtype=np.uint64)
+        send_pl = np.concatenate([eid[:, None], zeros8[:, :1], key, zeros8,
+                                  inb, out_l], axis=1)
         inv_send = np_bus_inverse_terms(challenges, BUS_AES_ENC, send_pl)
         t_idx = np.arange(n) % ROWS_PER_BLOCK
         glast = (t_idx == ROWS_PER_BLOCK - 1).astype(np.uint64)

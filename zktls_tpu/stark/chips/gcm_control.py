@@ -95,7 +95,9 @@ def _build_layout() -> _Layout:
     L.add("rt1", 1)      # J0 row flag
     L.add("live", 1)     # 1 on real event rows, 0 on padding
     L.add("eid", 1)      # event id (constant through the event)
-    L.add("key", 8)      # AES key limbs (event-constant)
+    L.add("key", 8)      # AES key low limbs (event-constant)
+    L.add("key2", 8)     # AES-256 key high limbs (0 for AES-128)
+    L.add("kv", 1)       # key variant: 0 = AES-128, 1 = AES-256
     L.add("ctr", 8)      # this row's AES input block limbs
     L.add("out", 8)      # this row's AES output block limbs
     L.add("tag", 8)      # record tag limbs (event-constant)
@@ -149,7 +151,7 @@ class GcmControlAir(Air):
         rt0, rt1, live = loc("rt0"), loc("rt1"), loc("live")
         nrt0, nrt1 = nxt("rt0"), nxt("rt1")
         for c in (rt0, rt1, live, loc("c0"), loc("c1"), loc("v13"),
-                  loc("isr")):
+                  loc("isr"), loc("kv")):
             b.assert_bool(c)
         for name, k in (("clb", 16), ("l13b", 16), ("rpad", 4), ("nbb", 8),
                         ("nb", 64), ("tb", 128)):
@@ -163,7 +165,8 @@ class GcmControlAir(Air):
 
         # event-constant columns (free only across a header boundary);
         # degree 3: is_transition · (1 − rt0') · Δ
-        ev_const = [("eid", 1), ("key", 8), ("tag", 8), ("nonce", 6),
+        ev_const = [("eid", 1), ("key", 8), ("key2", 8), ("kv", 1),
+                    ("tag", 8), ("nonce", 6),
                     ("nblocks", 1), ("live", 1), ("seqv", 1), ("rtyp", 1),
                     ("v13", 1), ("isr", 1), ("ctlen", 1), ("clb", 16),
                     ("l13b", 16), ("rpad", 4), ("nbb", 8), ("nb", 64),
@@ -244,14 +247,16 @@ class GcmControlAir(Air):
 
         eid = loc("eid")
         v13 = loc("v13")
-        fp_aes = ExtVal.from_base(BUS_AES_ENC) + dpow(0) * eid
+        fp_aes = (ExtVal.from_base(BUS_AES_ENC) + dpow(0) * eid
+                  + dpow(1) * loc("kv"))
         fp_h = ExtVal.from_base(BUS_GCM_H) + dpow(0) * eid
         fp_mask = ExtVal.from_base(BUS_GCM_MASK) + dpow(0) * eid
         fp_tag = ExtVal.from_base(BUS_GCM_TAG) + dpow(0) * eid
         fp_rec = ExtVal.from_base(BUS_GCM_RECORD) + dpow(0) * eid
         for j in range(8):
-            fp_aes = fp_aes + dpow(1 + j) * loc("key", j) \
-                + dpow(9 + j) * loc("ctr", j) + dpow(17 + j) * loc("out", j)
+            fp_aes = fp_aes + dpow(2 + j) * loc("key", j) \
+                + dpow(10 + j) * loc("key2", j) \
+                + dpow(18 + j) * loc("ctr", j) + dpow(26 + j) * loc("out", j)
             fp_h = fp_h + dpow(1 + j) * loc("out", j)
             fp_mask = fp_mask + dpow(1 + j) * loc("out", j)
             fp_tag = fp_tag + dpow(1 + j) * loc("tag", j)
@@ -371,6 +376,7 @@ class GcmControlAir(Air):
 
         eid = cols("eid")
         key, ctr, out = cols("key"), cols("ctr"), cols("out")
+        key2, kv = cols("key2"), cols("kv")
         tag, nonce, nblocks = cols("tag"), cols("nonce"), cols("nblocks")
         seqv, rtyp = col1("seqv"), col1("rtyp")
         v13, isr, ctlen = col1("v13"), col1("isr"), col1("ctlen")
@@ -379,7 +385,7 @@ class GcmControlAir(Air):
         nbits, tbits = cols("nb"), cols("tb")
         inv_aes = np_bus_inverse_terms(
             challenges, BUS_AES_ENC,
-            np.concatenate([eid, key, ctr, out], axis=1))
+            np.concatenate([eid, kv, key, key2, ctr, out], axis=1))
         inv_h = np_bus_inverse_terms(
             challenges, BUS_GCM_H, np.concatenate([eid, out], axis=1))
         inv_mask = np_bus_inverse_terms(
@@ -521,12 +527,20 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
             meta_by_eid[m.eid] = m
     rows: list[dict] = []
     for eid, ev in enumerate(events):
-        key_l = _limbs(ev.key)
+        if len(ev.key) == 32:
+            key_l = _limbs(ev.key[:16])
+            key2_l = _limbs(ev.key[16:])
+            kv = 1
+        else:
+            key_l = _limbs(ev.key)
+            key2_l = [0] * 8
+            kv = 0
         tag_l = _limbs(ev.tag)
         nonce_l = _limbs(ev.nonce)
         nb = len(ev.counter_blocks)
         m = meta_by_eid.get(eid)
-        base = dict(eid=eid, key=key_l, tag=tag_l, nonce=nonce_l,
+        base = dict(eid=eid, key=key_l, key2=key2_l, kv=kv, tag=tag_l,
+                    nonce=nonce_l,
                     nblocks=nb, live=1,
                     seqv=m.seqno if m else 0,
                     rtyp=m.rectype if m else 0,
@@ -556,7 +570,8 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
         ctr_l = [0] * 6 + [i >> 16, i & 0xFFFF]
         c0 = 1 if i and (i - 1) & 0xFFFF == 0xFFFF else 0
         nbl = max(pad - 1, 0)
-        pad_rows.append(dict(eid=0, key=[0] * 8, tag=[0] * 8,
+        pad_rows.append(dict(eid=0, key=[0] * 8, key2=[0] * 8, kv=0,
+                             tag=[0] * 8,
                              nonce=[0] * 6, nblocks=nbl,
                              live=0, rt0=0, rt1=0, cnt=i,
                              ctr=ctr_l, out=[0] * 8, c0=c0, c1=0,
@@ -568,10 +583,11 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
     trace = np.zeros((n, L.width), dtype=np.uint32)
     for r, row in enumerate(rows):
         for nm in ("rt0", "rt1", "live", "eid", "nblocks", "cnt", "seqv",
-                   "rtyp", "v13", "isr", "ctlen"):
+                   "rtyp", "v13", "isr", "ctlen", "kv"):
             trace[r, L[nm].start] = row[nm]
         for j in range(8):
             trace[r, L["key"].start + j] = row["key"][j]
+            trace[r, L["key2"].start + j] = row["key2"][j]
             trace[r, L["ctr"].start + j] = row["ctr"][j]
             trace[r, L["out"].start + j] = row["out"][j]
             trace[r, L["tag"].start + j] = row["tag"][j]

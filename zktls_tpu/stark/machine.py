@@ -499,40 +499,53 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
     _mark("deep")
 
     # 6. mixed-height FRI ---------------------------------------------------
-    fri_roots: list[list[int]] = []
-    fri_trees: list[MerkleTree] = []
-    fri_layers_dev: list[jnp.ndarray] = []
-    cur = deep_by_log[log_N_max]
-    cur_shift = config.shift
-    cur_log = log_N_max
-    while (1 << cur_log) > config.fri_final_size:
-        rows = _pair_rows(cur)
-        tree = MerkleTree(rows)
-        root = [int(x) for x in tree.root]
-        fri_trees.append(tree)
-        fri_roots.append(root)
-        fri_layers_dev.append(cur)
-        ch.observe_many(root)
-        beta_l = ch.sample_ext()
-        cur = _fold_layer(cur, beta_l, _inv_2x(cur_log, cur_shift))
-        cur_shift = cur_shift * cur_shift % P
-        cur_log -= 1
-        if cur_log in deep_by_log:
-            cur = ex.ext_add(cur, deep_by_log[cur_log])
-    final_plain = bb.np_from_mont(np.asarray(cur))
-    fri_final = [Fp4(*[int(x) for x in row]) for row in final_plain]
-    for v in fri_final:
-        ch.observe_ext(v)
-    _mark("fri")
+    if os.environ.get("ZKTLS_FUSED_FRI", "1") != "0":
+        # the whole FRI phase — trees, Fiat-Shamir, folds, grinding and
+        # query draws — as ONE device program (stark/fri_device.py); the
+        # host challenger is not advanced (nothing samples after this)
+        from .fri_device import fused_fri
 
-    # 7. grinding + queries --------------------------------------------------
-    pow_witness = 0
-    if config.pow_bits:
-        pow_witness = _grind_device(ch, config.pow_bits)
-    ch.check_witness(config.pow_bits, pow_witness)
+        fri_trees, fri_layers_dev, final_dev, pow_witness, q_indices = \
+            fused_fri(ch, deep_by_log, config, log_N_max)
+        fri_roots = [[int(x) for x in t.root] for t in fri_trees]
+        final_plain = bb.np_from_mont(np.asarray(final_dev))
+        fri_final = [Fp4(*[int(x) for x in row]) for row in final_plain]
+        _mark("fri")
+    else:
+        fri_roots = []
+        fri_trees = []
+        fri_layers_dev = []
+        cur = deep_by_log[log_N_max]
+        cur_shift = config.shift
+        cur_log = log_N_max
+        while (1 << cur_log) > config.fri_final_size:
+            rows = _pair_rows(cur)
+            tree = MerkleTree(rows)
+            root = [int(x) for x in tree.root]
+            fri_trees.append(tree)
+            fri_roots.append(root)
+            fri_layers_dev.append(cur)
+            ch.observe_many(root)
+            beta_l = ch.sample_ext()
+            cur = _fold_layer(cur, beta_l, _inv_2x(cur_log, cur_shift))
+            cur_shift = cur_shift * cur_shift % P
+            cur_log -= 1
+            if cur_log in deep_by_log:
+                cur = ex.ext_add(cur, deep_by_log[cur_log])
+        final_plain = bb.np_from_mont(np.asarray(cur))
+        fri_final = [Fp4(*[int(x) for x in row]) for row in final_plain]
+        for v in fri_final:
+            ch.observe_ext(v)
+        _mark("fri")
 
-    q_indices = [ch.sample_bits(log_N_max)
-                 for _ in range(config.num_queries)]
+        # 7. grinding + queries ---------------------------------------------
+        pow_witness = 0
+        if config.pow_bits:
+            pow_witness = _grind_device(ch, config.pow_bits)
+        ch.check_witness(config.pow_bits, pow_witness)
+
+        q_indices = [ch.sample_bits(log_N_max)
+                     for _ in range(config.num_queries)]
 
     # gather queried rows per chip (index = q mod N_i)
     rows_by_chip = {}

@@ -142,16 +142,33 @@ def test_tls13_aes256_sha384_full_balance(cert_pair):
     assert total == Fp4(0), "global bus imbalance"
 
 
-def test_chacha_suites_replay(cert_pair):
-    """ChaCha20-Poly1305 sessions (0xCCA8 / 0x1303) record and replay
-    end-to-end (chip coverage is the dedicated ChaCha/Poly chips)."""
-    gi = _record_session(cert_pair,
-                         tls12_ciphers="ECDHE-RSA-CHACHA20-POLY1305")
-    out = run_guest(gi, require_trust_anchor=False)
-    assert out.replay.cipher_suite.id == 0xCCA8
-    gi = _record_session(cert_pair, offered=[0x1303])
-    out = run_guest(gi, require_trust_anchor=False)
-    assert out.replay.cipher_suite.id == 0x1303
+def test_chacha_suites_chip_coverage(cert_pair):
+    """ChaCha20-Poly1305 sessions (0xCCA8 / 0x1303): record, replay, and
+    the keystream blocks + Poly1305 tag multiplications become provable
+    events (ChaCha20 chip + ModMul over 2^130−5)."""
+    from zktls_tpu.guest.crypto.chacha import P1305
+    from zktls_tpu.stark.debug import check_trace
+
+    for kwargs, want in (
+            (dict(tls12_ciphers="ECDHE-RSA-CHACHA20-POLY1305"), 0xCCA8),
+            (dict(offered=[0x1303]), 0x1303)):
+        gi = _record_session(cert_pair, **kwargs)
+        out = run_guest(gi, require_trust_anchor=False)
+        assert out.replay.cipher_suite.id == want
+        assert out.replay.chacha_events, "no ChaCha events recorded"
+        assert any(ev.m == P1305 for ev in out.modmul_events), \
+            "no Poly1305 mulmods recorded"
+        chips = build_chip_instances(out)
+        names = {c.air.name for c in chips}
+        assert "ChaCha20Air" in names
+        # the chip's trace satisfies its AIR on the real session witness
+        ci = next(c for c in chips if c.air.name == "ChaCha20Air")
+        challenges = [Fp4(61, 2, 9, 30)] + delta_powers(
+            Fp4(19, 23, 4, 7), MAX_PAYLOAD)
+        perm = ci.air.generate_perm_trace(ci.trace, [], challenges)
+        pubs = [int(v) for v in perm[-1, -4:]]
+        assert check_trace(ci.air, ci.trace, pubs, perm_trace=perm,
+                           challenges=challenges) == []
 
 
 def test_sha512_chip_machine_prove(cert_pair):

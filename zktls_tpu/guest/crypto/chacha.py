@@ -3,13 +3,35 @@
 Covers the cca8/cca9 TLS 1.2 suites and TLS_CHACHA20_POLY1305_SHA256 (0x1303)
 that the recorded client offers (SURVEY.md §2.3 lists the full offered set) —
 sessions that negotiate them decrypt through here.
+
+Witness recording (round 4): each record decryption can emit a
+`ChaChaEvent` carrying the keystream blocks and the Poly1305 one-time key
+for the ChaCha20 block AIR chip (stark/chips/chacha.py), and the Poly1305
+accumulator multiplications are recorded as ModMulEvents over 2^130 − 5
+so the existing ModMul width-class chip proves the tag polynomial.
 """
 
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass, field
 
-__all__ = ["ChaCha20Poly1305", "chacha20_block"]
+__all__ = ["ChaCha20Poly1305", "chacha20_block", "ChaChaEvent", "P1305"]
+
+P1305 = (1 << 130) - 5
+
+
+@dataclass
+class ChaChaEvent:
+    """One decrypted ChaCha20-Poly1305 record: the chip workload."""
+
+    key: bytes                    # 32-byte session key
+    nonce: bytes                  # 12 bytes
+    otk: bytes                    # Poly1305 key = block(ctr=0)[:32]
+    tag: bytes
+    ciphertext: bytes
+    plaintext: bytes
+    keystream: list = field(default_factory=list)   # blocks ctr=1..
 
 
 def _rotl(x: int, n: int) -> int:
@@ -57,14 +79,17 @@ def _chacha20(key: bytes, counter: int, nonce: bytes, data: bytes) -> bytes:
 
 
 def _poly1305(key: bytes, msg: bytes) -> bytes:
+    from .modmul import mulmod
+
     r = int.from_bytes(key[:16], "little") & 0x0FFFFFFC0FFFFFFC0FFFFFFC0FFFFFFF
     s = int.from_bytes(key[16:], "little")
-    p = (1 << 130) - 5
     acc = 0
     for i in range(0, len(msg), 16):
         blk = msg[i : i + 16]
         n = int.from_bytes(blk + b"\x01", "little")
-        acc = (acc + n) * r % p
+        # each accumulator step is a recorded mulmod over 2^130 − 5, so
+        # the ModMul chip proves the tag polynomial's multiplications
+        acc = mulmod(acc + n, r, P1305)
     return ((acc + s) & ((1 << 128) - 1)).to_bytes(16, "little")
 
 
@@ -83,13 +108,22 @@ class ChaCha20Poly1305:
         mac_data = pad(aad) + pad(ct) + struct.pack("<QQ", len(aad), len(ct))
         return _poly1305(otk, mac_data)
 
-    def decrypt(self, nonce: bytes, ciphertext_and_tag: bytes, aad: bytes) -> bytes:
+    def decrypt(self, nonce: bytes, ciphertext_and_tag: bytes, aad: bytes,
+                events: list | None = None) -> bytes:
         if len(ciphertext_and_tag) < 16:
             raise ValueError("ciphertext too short for Poly1305 tag")
         ct, tag = ciphertext_and_tag[:-16], ciphertext_and_tag[-16:]
         if self._tag(nonce, aad, ct) != tag:
             raise ValueError("Poly1305 tag mismatch")
-        return _chacha20(self.key, 1, nonce, ct)
+        pt = _chacha20(self.key, 1, nonce, ct)
+        if events is not None:
+            ks = [chacha20_block(self.key, 1 + i, nonce)
+                  for i in range((len(ct) + 63) // 64)]
+            events.append(ChaChaEvent(
+                key=self.key, nonce=bytes(nonce),
+                otk=chacha20_block(self.key, 0, nonce)[:32], tag=tag,
+                ciphertext=ct, plaintext=pt, keystream=ks))
+        return pt
 
     def encrypt(self, nonce: bytes, plaintext: bytes, aad: bytes) -> bytes:
         ct = _chacha20(self.key, 1, nonce, plaintext)

@@ -93,6 +93,8 @@ class ReplayResult:
     # witness event streams for AIR trace generation
     sha256_recorder: SHA256Recorder = field(repr=False, default_factory=SHA256Recorder)
     gcm_events: list[GCMEvent] = field(repr=False, default_factory=list)
+    #: ChaCha20-Poly1305 record events (chacha suites)
+    chacha_events: list = field(repr=False, default_factory=list)
     #: SHA-512 recorder for SHA-384 suites (None for SHA-256 suites)
     sha512_recorder: object | None = field(repr=False, default=None)
     checks: dict[str, bool] = field(default_factory=dict)
@@ -282,6 +284,7 @@ def _replay_tls12(
     server_iv = key_block[off : off + suite.fixed_iv_len]
 
     gcm_events: list[GCMEvent] = []
+    chacha_events: list = []
 
     def aead(key: bytes):
         if suite.aead == "aes-gcm":
@@ -307,7 +310,7 @@ def _replay_tls12(
         try:
             if suite.aead == "aes-gcm":
                 return cipher.decrypt(nonce, body, aad, gcm_events)
-            return cipher.decrypt(nonce, body, aad)
+            return cipher.decrypt(nonce, body, aad, chacha_events)
         except ValueError as e:
             raise ReplayError(f"record decryption failed (seq {seq}): {e}") from e
 
@@ -418,6 +421,7 @@ def _replay_tls12(
         handshake_transcript=transcript,
         sha256_recorder=rec,
         gcm_events=gcm_events,
+        chacha_events=chacha_events,
         sha512_recorder=rec512,
         checks=checks,
     )
@@ -480,6 +484,7 @@ def _replay_tls13(
 
     sched.handshake_traffic(thash())
     gcm_events: list[GCMEvent] = []
+    chacha_events: list = []
     server_crypto = Tls13RecordCrypto(suite, sched.server_hs_secret, rec,
                                       rec512)
     client_crypto = Tls13RecordCrypto(suite, sched.client_hs_secret, rec,
@@ -487,7 +492,7 @@ def _replay_tls13(
 
     def _dec(crypto, r):
         try:
-            return crypto.decrypt(r, gcm_events)
+            return crypto.decrypt(r, gcm_events, chacha_events)
         except ValueError as e:
             raise ReplayError(f"1.3 record decryption failed: {e}") from e
 
@@ -629,6 +634,7 @@ def _replay_tls13(
         handshake_transcript=transcript,
         sha256_recorder=rec,
         gcm_events=gcm_events,
+        chacha_events=chacha_events,
         sha512_recorder=rec512,
         checks=checks,
     )

@@ -124,14 +124,16 @@ class Tls13RecordCrypto:
                                            self.seq.to_bytes(12, "big")))
 
     def decrypt(self, record: Record,
-                events: list[GCMEvent] | None = None) -> bytes:
+                events: list[GCMEvent] | None = None,
+                chacha_events: list | None = None) -> bytes:
         aad = bytes([record.typ]) + record.version + \
             len(record.payload).to_bytes(2, "big")
         nonce = self._nonce()
         if isinstance(self.aead, AESGCM):
             out = self.aead.decrypt(nonce, record.payload, aad, events)
         else:
-            out = self.aead.decrypt(nonce, record.payload, aad)
+            out = self.aead.decrypt(nonce, record.payload, aad,
+                                    chacha_events)
         self.seq += 1
         return out
 

@@ -120,6 +120,22 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
         ktrace, _ = keccak_trace(streams)
         chips.append(ChipInstance(air=KeccakAir(), trace=ktrace,
                                   publics=[]))
+    chacha_events = getattr(out.replay, "chacha_events", None)
+    if chacha_events:
+        # ChaCha suites: every keystream block (incl. the Poly1305
+        # one-time-key block) proven by the ChaCha20 chip; the Poly1305
+        # tag multiplications ride the ModMul chip via recorded mulmods
+        # over 2^130−5.  Record-level binding (parser/control glue) is
+        # the documented remaining chacha gap.
+        from ..stark.chips.chacha import (
+            ChaCha20Air,
+            chacha_event_blocks,
+            chacha_trace,
+        )
+
+        ctrace, cpub = chacha_trace(chacha_event_blocks(chacha_events))
+        chips.append(ChipInstance(air=ChaCha20Air(), trace=ctrace,
+                                  publics=cpub))
     if out.modmul_events:
         chips.extend(modmul_instances(out.modmul_events))
     return chips
@@ -141,10 +157,12 @@ def _air_registry() -> dict:
     from ..stark.chips.xor_table import XorTableAir
 
     from ..stark.chips.aes256 import Aes256Air
+    from ..stark.chips.chacha import ChaCha20Air
     from ..stark.chips.sha512 import Sha512Air
 
     return {
         "KeccakAir": KeccakAir,
+        "ChaCha20Air": ChaCha20Air,
         "Sha256Air": sha256_air,
         "Sha512Air": Sha512Air,
         "Aes128Air": aes128_air,

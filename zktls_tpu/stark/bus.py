@@ -28,7 +28,7 @@ from ..ops.field_ref import Fp4, P
 
 __all__ = [
     "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_SHA512_STATE",
-    "BUS_SHA512_RESULT", "BUS_AES_ENC", "BUS_GCM_H",
+    "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
     "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
@@ -122,14 +122,18 @@ BUS_HASH_RESULT = 0x115
 BUS_SHA512_STATE = 0x116
 #: (result_tag, digest 32×u16) — a tagged SHA-512-family digest.
 BUS_SHA512_RESULT = 0x117
+#: (eid, ctr_lo, ctr_hi, half, key 16×u16, block-half 16×u16) — one
+#: 64-byte ChaCha20 keystream block in two halves, published by the
+#: ChaCha20 chip (consumer: the ChaCha record-control chip, planned).
+BUS_CHACHA_BLOCK = 0x118
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes
 RESULT_TAG_STREAM = 2    # digest of the full stream tape (in the journal)
 
-#: maximum payload length any message uses (SHA512_STATE: 3 + 32 = 35;
-#: AES_ENC: 2 + 16 + 8 + 8 = 34; SHA_STATE: 3 + 16 = 19)
-MAX_PAYLOAD = 35
+#: maximum payload length any message uses (CHACHA_BLOCK: 4 + 32 = 36;
+#: SHA512_STATE: 3 + 32 = 35; AES_ENC: 2 + 16 + 8 + 8 = 34)
+MAX_PAYLOAD = 36
 
 #: machine challenge vector: [γ, δ, δ², …, δ^MAX_PAYLOAD] — powers are
 #: host-precomputed so in-AIR fingerprints stay degree 1 in trace columns.

@@ -61,8 +61,11 @@ __all__ = ["ModMulAir", "modmul_air_256", "modmul_air_384",
 #: scalar fields, plus the curve25519 field and the ed25519 group order
 P25519 = (1 << 255) - 19
 ED25519_L = (1 << 252) + 27742317777372353535851937790883648493
+#: Poly1305 prime: the ChaCha suites' tag-polynomial multiplications are
+#: recorded as mulmod events over it (guest/crypto/chacha.py)
+P1305 = (1 << 130) - 5
 MODULI_256: list[int] = [P256.p, P256.n, SECP256K1.p, SECP256K1.n,
-                         P25519, ED25519_L]
+                         P25519, ED25519_L, P1305]
 MODULI_384: list[int] = [P384.p, P384.n]
 
 

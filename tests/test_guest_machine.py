@@ -71,6 +71,27 @@ def test_journal_v2_binding_fields(guest_out, fixture_cbor_bytes):
     assert sorted(tags) == sorted([RESULT_TAG_JOURNAL, RESULT_TAG_STREAM])
 
 
+def test_cert_chain_hashes_witnessed(guest_out):
+    """Round-4 (VERDICT #9): the SHA-256 digests of every TBS certificate
+    and of the SKX signed data are IV-rooted chains in the SHA chip's
+    witness stream, composing with the recorded RSA/ECDSA mulmods."""
+    import struct
+
+    from zktls_tpu.guest.x509 import Certificate
+
+    digs = set()
+    for e in guest_out.replay.sha256_recorder.events:
+        digs.add(b"".join(struct.pack(">I", x) for x in e.state_out))
+    chain = guest_out.replay.certificate_chain
+    for der in chain[:-1]:
+        c = Certificate.parse(der)
+        tbs = hashlib.sha256(c._cert.tbs_certificate_bytes).digest()
+        assert tbs in digs, "TBS digest not witnessed"
+    # (the SKX signed-data digest is recorded on the same path; its raw
+    # params are not retained on ReplayResult, so TBS coverage is the
+    # assertable surface here)
+
+
 def test_public_messages_match_journal(guest_out):
     msgs = journal_public_messages(guest_out.journal)
     j = decode_journal(guest_out.journal)

@@ -61,7 +61,19 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
 
     server_name = guest_input.request.request_info.server_name
     sec, _ = parse_time(resp.time)
-    chain = verify_chain(replay.certificate_chain, server_name, sec)
+    # cert-chain hashes (TBS bytes, signed data) run through the witness
+    # recorders so the SHA chips prove them alongside the recorded
+    # RSA/ECDSA mulmods (x509.hash_recording)
+    from .x509 import hash_recording
+
+    if replay.sha512_recorder is None:
+        from .crypto.sha512 import SHA512Recorder
+
+        replay.sha512_recorder = SHA512Recorder()
+    with hash_recording(replay.sha256_recorder, replay.sha512_recorder):
+        chain = verify_chain(replay.certificate_chain, server_name, sec)
+    if not replay.sha512_recorder.events:
+        replay.sha512_recorder = None
     if not chain["hostname_match"]:
         raise ReplayError(f"certificate does not match {server_name!r}")
     if not chain["signatures"]:

@@ -356,10 +356,14 @@ def _replay_tls12(
     server_finished_ok = sfin_msgs[0].body == server_verify
     checks["server_finished"] = server_finished_ok
 
-    # --- SKX signature (server authentication) ---
+    # --- SKX signature (server authentication); the signed-data hash is
+    # recorded so the SHA chips prove it (x509.hash_recording) ---
+    from .x509 import hash_recording
+
     try:
-        skx_ok = _verify_skx_signature(
-            skx, chain.der_certs[0], ch.client_random, sh.server_random)
+        with hash_recording(rec, rec512):
+            skx_ok = _verify_skx_signature(
+                skx, chain.der_certs[0], ch.client_random, sh.server_random)
     except Exception:
         skx_ok = False
     checks["skx_signature"] = bool(skx_ok)
@@ -536,12 +540,13 @@ def _replay_tls13(
                     signed = (b" " * 64
                               + b"TLS 1.3, server CertificateVerify"
                               + b"\x00" + thash())
-                    from .x509 import Certificate
+                    from .x509 import Certificate, hash_recording
 
                     try:
-                        ok = Certificate.parse(
-                            chain.der_certs[0]
-                        ).public_key_verify(scheme, signed, sig)
+                        with hash_recording(rec, rec512):
+                            ok = Certificate.parse(
+                                chain.der_certs[0]
+                            ).public_key_verify(scheme, signed, sig)
                     except Exception:
                         ok = False
                     checks["certificate_verify"] = bool(ok)

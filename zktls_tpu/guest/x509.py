@@ -10,14 +10,34 @@ path must own them.
 
 from __future__ import annotations
 
+import contextvars
 import datetime
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from .crypto.ec import P256, P384, ecdsa_verify
 from .crypto.ed25519 import ed25519_verify
 from .crypto.rsa import rsa_pkcs1v15_verify, rsa_pss_verify
 
-__all__ = ["Certificate", "verify_chain", "SignatureScheme"]
+__all__ = ["Certificate", "verify_chain", "SignatureScheme",
+           "hash_recording"]
+
+#: active (SHA256Recorder, SHA512Recorder) pair: when set, every digest
+#: feeding a signature verification (TBS certificate bytes, SKX /
+#: CertificateVerify signed data) is computed through the witnessed SHA
+#: paths, so the SHA chips prove the cert-chain hashes (VERDICT r3 #9 —
+#: composes with the recorded RSA/ECDSA mulmods).
+_hash_recs: contextvars.ContextVar = contextvars.ContextVar(
+    "zktls_x509_hash_recorders", default=(None, None))
+
+
+@contextmanager
+def hash_recording(rec256=None, rec512=None):
+    token = _hash_recs.set((rec256, rec512))
+    try:
+        yield
+    finally:
+        _hash_recs.reset(token)
 
 
 class SignatureScheme:
@@ -35,6 +55,16 @@ class SignatureScheme:
 
 
 def _hash(name: str, data: bytes) -> bytes:
+    rec256, rec512 = _hash_recs.get()
+    if name == "sha256" and rec256 is not None:
+        from .crypto.sha256 import SHA256
+
+        return SHA256(data, recorder=rec256).digest()
+    if name in ("sha384", "sha512") and rec512 is not None:
+        from .crypto.sha512 import SHA384, SHA512
+
+        cls = SHA384 if name == "sha384" else SHA512
+        return cls(data, recorder=rec512).digest()
     import hashlib
 
     return getattr(hashlib, name)(data).digest()

@@ -23,7 +23,8 @@ class FibonacciAir(Air):
     max_constraint_degree = 2  # constraint degree 1 + selector degree 1
 
     def eval(self, b: AirBuilder) -> None:
-        a0, b0, b_final = b.public
+        # machine proofs append the 4 bus-sum publics after the AIR's own
+        a0, b0, b_final = b.public[:3]
         local_a, local_b = b.local
         next_a, next_b = b.next
         b.when_first_row(local_a - a0)

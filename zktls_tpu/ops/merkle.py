@@ -202,6 +202,14 @@ class MerkleTree:
         t._levels_np = None
         return t
 
+    @classmethod
+    def from_np_levels(cls, levels_np) -> "MerkleTree":
+        """Wrap plain-form HOST levels (batched single-transfer pulls)."""
+        t = cls.__new__(cls)
+        t.levels = None
+        t._levels_np = list(levels_np)
+        return t
+
     @property
     def levels_np(self):
         """Host copies, pulled lazily on first access — construction is

@@ -28,7 +28,9 @@ from ..ops.field_ref import Fp4, P
 
 __all__ = [
     "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_SHA512_STATE",
-    "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_AES_ENC", "BUS_GCM_H",
+    "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_SP16_CHAIN",
+    "BUS_SP24_CHAIN", "BUS_HASH_ABS", "BUS_HASH_OUT", "BUS_VM_VAL",
+    "BUS_VM_INSTR", "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
     "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
@@ -126,6 +128,22 @@ BUS_SHA512_RESULT = 0x117
 #: 64-byte ChaCha20 keystream block in two halves, published by the
 #: ChaCha20 chip (consumer: the ChaCha record-control chip, planned).
 BUS_CHACHA_BLOCK = 0x118
+#: recursion machine (stark/recursion.py) — sponge chain state:
+#: (sid, seq, state w×field) between consecutive duplexes of an instance.
+BUS_SP16_CHAIN = 0x119
+BUS_SP24_CHAIN = 0x11A
+#: (sid, seq, lane, value) — a value absorbed into a sponge lane,
+#: VM chip → sponge chip.
+BUS_HASH_ABS = 0x11B
+#: (sid, seq, lane, value) — a sponge output lane, sponge chip → VM.
+BUS_HASH_OUT = 0x11C
+#: (idx, v0..v3) — VM dataflow: SSA value idx (4 ext limbs), produced
+#: once (multiplicity = consumer count), received per use.
+BUS_VM_VAL = 0x11D
+#: (pc, op, ia, ib, ic, io1, io2, imm0..3, m1, m2, ra, rb, rc2, ub) —
+#: one VM instruction, sent by the VERIFIER (the program is a public
+#: deterministic function of (vk, journal)), consumed by the VM row.
+BUS_VM_INSTR = 0x11E
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes

@@ -1,0 +1,373 @@
+"""Recursion verifier-VM AIR chip: one straight-line instruction per row.
+
+The reference verifies inner STARK proofs with a recursion VM whose
+program is compiled from the verifier (sp1-recursion-{core,compiler},
+risc0-circuit-recursion, SURVEY.md §2.2.B/C).  This chip is the
+equivalent execution table:
+
+  * the PROGRAM is not committed by the prover: the machine verifier
+    derives it deterministically from (inner vk, journal) and SENDS one
+    (BUS_VM_INSTR, pc, fields…) message per row, which the row consumes —
+    a forged program breaks the bus (the round-5 upgrade is hashing the
+    program into the vk so the wrap circuit pays O(1), not O(L));
+  * dataflow is SSA over the bus: a row's result is sent as
+    (BUS_VM_VAL, idx, 4 ext limbs) with multiplicity = its consumer
+    count; operand slots receive the same messages;
+  * hashing is delegated to the sponge chips: HABS sends operand a's
+    base limb to (sid, seq, lane), HOUT receives a sponge output lane.
+
+Values are quartic-extension elements (4 base limbs).  Ops:
+
+  CONST   out = imm
+  ADD/SUB out = a ± b
+  MUL     out = a · b            (b replaced by imm when ub = 1)
+  SEL     out = a·b + (1−a)·c    (a must be a BIT output)
+  BIT     out = low bit of a (boolean-constrained); out2 = (a − out)/2;
+          base-only: a's high limbs asserted zero
+  HABS    absorb a (base-only) into sponge (sid=ib, seq=ic, lane=imm0)
+  HOUT    out = sponge output lane (base; high limbs zeroed)
+  AZERO   assert a = 0
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...ops.field_ref import P
+from ..air import Air, AirBuilder
+from ..bus import (
+    BUS_HASH_ABS,
+    BUS_HASH_OUT,
+    BUS_VM_INSTR,
+    BUS_VM_VAL,
+    np_bus_inverse_terms,
+)
+from ..ext_val import ExtVal
+
+__all__ = ["VmAir", "vm_trace", "OPS", "Instr", "instr_payload"]
+
+OPS = ["const", "add", "sub", "mul", "sel", "bit", "habs", "hout",
+       "azero", "wit"]
+OP_IDX = {name: i for i, name in enumerate(OPS)}
+
+
+class Instr:
+    """One program row.  ia/ib/ic: operand value indices; io1/io2:
+    result indices; imm: 4 base limbs; m1/m2: result consumer counts;
+    ra/rb/rc2: operand-receive flags; ub: b-from-imm flag.  For hash ops
+    (ib, ic, imm0) carry (sid, seq, lane)."""
+
+    __slots__ = ("op", "ia", "ib", "ic", "io1", "io2", "imm", "m1", "m2",
+                 "ra", "rb", "rc2", "ub")
+
+    def __init__(self, op, ia=0, ib=0, ic=0, io1=0, io2=0, imm=(0, 0, 0, 0),
+                 m1=0, m2=0, ra=0, rb=0, rc2=0, ub=0):
+        self.op = op
+        self.ia, self.ib, self.ic = ia, ib, ic
+        self.io1, self.io2 = io1, io2
+        self.imm = tuple(int(v) % P for v in imm)
+        self.m1, self.m2 = m1, m2
+        self.ra, self.rb, self.rc2 = ra, rb, rc2
+        self.ub = ub
+
+
+def instr_payload(pc: int, ins: Instr) -> list[int]:
+    """The BUS_VM_INSTR payload — the verifier sends exactly this."""
+    return ([pc, OP_IDX[ins.op], ins.ia, ins.ib, ins.ic, ins.io1,
+             ins.io2] + list(ins.imm)
+            + [ins.m1, ins.m2, ins.ra, ins.rb, ins.rc2, ins.ub])
+
+
+class _Layout:
+    def __init__(self):
+        self._n = 0
+        self.slices: dict[str, slice] = {}
+
+    def add(self, name: str, count: int = 1) -> None:
+        self.slices[name] = slice(self._n, self._n + count)
+        self._n += count
+
+    @property
+    def width(self) -> int:
+        return self._n
+
+    def __getitem__(self, name: str) -> slice:
+        return self.slices[name]
+
+
+def _build_layout() -> _Layout:
+    L = _Layout()
+    L.add("live")
+    L.add("pc")
+    L.add("s", len(OPS))    # opcode one-hot
+    L.add("ia"); L.add("ib"); L.add("ic")
+    L.add("io1"); L.add("io2")
+    L.add("imm", 4)
+    L.add("m1"); L.add("m2")
+    L.add("ra"); L.add("rb"); L.add("rc2")
+    L.add("ub")
+    L.add("a", 4); L.add("b", 4); L.add("c", 4)
+    L.add("beff", 4)        # ub·imm + (1−ub)·b
+    L.add("o1", 4); L.add("o2", 4)
+    return L
+
+
+LAYOUT = _build_layout()
+
+#: quartic extension: x⁴ = W_EXT (ops/field_ref.py)
+from ...ops.field_ref import W_EXT  # noqa: E402
+
+
+def _ext_mul_limbs(a, b):
+    """Limb expressions of a·b over F_p[x]/(x⁴ − W_EXT)."""
+    def m(i, j):
+        return a[i] * b[j]
+
+    return [
+        m(0, 0) + W_EXT * (m(1, 3) + m(2, 2) + m(3, 1)),
+        m(0, 1) + m(1, 0) + W_EXT * (m(2, 3) + m(3, 2)),
+        m(0, 2) + m(1, 1) + m(2, 0) + W_EXT * m(3, 3),
+        m(0, 3) + m(1, 2) + m(2, 1) + m(3, 0),
+    ]
+
+
+class VmAir(Air):
+    width = LAYOUT.width
+    num_public = 0
+    max_constraint_degree = 3
+    #: instr recv ‖ a/b/c recvs ‖ o1/o2 sends ‖ habs send ‖ hout recv
+    #: ‖ u ‖ acc
+    perm_width = 4 * 10
+    num_perm_challenges = 2
+    has_bus = True
+    name = "VmAir"
+
+    def eval(self, b: AirBuilder) -> None:
+        L = LAYOUT
+
+        def col(name, i=0):
+            return b.local[L[name].start + i]
+
+        def grp(name):
+            return b.local_group(L[name])
+
+        live = col("live")
+        b.assert_bool(live)
+        s = [col("s", i) for i in range(len(OPS))]
+        A = [col("a", i) for i in range(4)]
+        B_ = [col("b", i) for i in range(4)]
+        C = [col("c", i) for i in range(4)]
+        BE = [col("beff", i) for i in range(4)]
+        O1 = [col("o1", i) for i in range(4)]
+        O2 = [col("o2", i) for i in range(4)]
+        IMM = [col("imm", i) for i in range(4)]
+
+        # pc: 0 on the first row, +1 per live row (dead rows at the end)
+        b.when_first_row(col("pc"))
+        b.when_transition(b.next[L["pc"].start] - col("pc") - live)
+
+        # b_eff = ub·imm + (1−ub)·b
+        ub = col("ub")
+        for i in range(4):
+            b.assert_zero(BE[i] - (ub * IMM[i] + (1 - ub) * B_[i]))
+
+        # --- op semantics (program fields are verifier-pinned, so each
+        # op's constraint is gated by its one-hot flag) ---
+        (s_const, s_add, s_sub, s_mul, s_sel, s_bit, s_habs, s_hout,
+         s_az, _s_wit) = s   # wit: output unconstrained (proof data)
+        for i in range(4):
+            b.assert_zero(s_const * (O1[i] - IMM[i]))
+            b.assert_zero(s_add * (O1[i] - A[i] - BE[i]))
+            b.assert_zero(s_sub * (O1[i] - A[i] + BE[i]))
+            b.assert_zero(s_az * A[i])
+        mul_limbs = _ext_mul_limbs(A, BE)
+        for i in range(4):
+            b.assert_zero(s_mul * (O1[i] - mul_limbs[i]))
+        # SEL: out = a0·b + (1−a0)·c  (a is a bit in limb 0)
+        for i in range(4):
+            b.assert_zero(s_sel * (O1[i] - A[0] * BE[i]
+                                   - (1 - A[0]) * C[i]))
+        # BIT: o1 = bit of a0; o2 = (a0 − o1)/2; a base-only
+        b.assert_zero(s_bit * O1[0] * (O1[0] - 1))
+        b.assert_zero(s_bit * (A[0] - O1[0] - 2 * O2[0]))
+        for i in range(1, 4):
+            b.assert_zero(s_bit * A[i])
+            b.assert_zero(s_bit * O1[i])
+            b.assert_zero(s_bit * O2[i])
+        # HABS: a base-only
+        for i in range(1, 4):
+            b.assert_zero(s_habs * A[i])
+        # HOUT: out high limbs zero (the received lane is limb 0)
+        for i in range(1, 4):
+            b.assert_zero(s_hout * O1[i])
+
+        # --- bus ---
+        gamma = b.challenges[0]
+
+        def dpow(i):
+            return b.challenges[1 + i]
+
+        op_id = None
+        for i, flag in enumerate(s):
+            term = flag * i
+            op_id = term if op_id is None else op_id + term
+        fp_instr = (ExtVal.from_base(BUS_VM_INSTR) + dpow(0) * col("pc")
+                    + dpow(1) * op_id + dpow(2) * col("ia")
+                    + dpow(3) * col("ib") + dpow(4) * col("ic")
+                    + dpow(5) * col("io1") + dpow(6) * col("io2"))
+        for i in range(4):
+            fp_instr = fp_instr + dpow(7 + i) * IMM[i]
+        fp_instr = (fp_instr + dpow(11) * col("m1") + dpow(12) * col("m2")
+                    + dpow(13) * col("ra") + dpow(14) * col("rb")
+                    + dpow(15) * col("rc2") + dpow(16) * ub)
+
+        def fp_val(idx, limbs):
+            f = ExtVal.from_base(BUS_VM_VAL) + dpow(0) * idx
+            for i in range(4):
+                f = f + dpow(1 + i) * limbs[i]
+            return f
+
+        fp_a = fp_val(col("ia"), A)
+        fp_b = fp_val(col("ib"), B_)
+        fp_c = fp_val(col("ic"), C)
+        fp_o1 = fp_val(col("io1"), O1)
+        fp_o2 = fp_val(col("io2"), O2)
+        fp_habs = (ExtVal.from_base(BUS_HASH_ABS) + dpow(0) * col("ib")
+                   + dpow(1) * col("ic") + dpow(2) * IMM[0]
+                   + dpow(3) * A[0])
+        fp_hout = (ExtVal.from_base(BUS_HASH_OUT) + dpow(0) * col("ib")
+                   + dpow(1) * col("ic") + dpow(2) * IMM[0]
+                   + dpow(3) * O1[0])
+        names = ["instr", "a", "b", "c", "o1", "o2", "habs", "hout"]
+        fps = [fp_instr, fp_a, fp_b, fp_c, fp_o1, fp_o2, fp_habs, fp_hout]
+        ivs = []
+        for k, f in enumerate(fps):
+            iv = b.perm_ext(k)
+            b.assert_ext_zero(iv * (gamma - f) - 1)
+            ivs.append(iv)
+        (iv_instr, iv_a, iv_b, iv_c, iv_o1, iv_o2, iv_habs,
+         iv_hout) = ivs
+        u_def = (iv_o1 * col("m1") + iv_o2 * col("m2")
+                 + iv_habs * s_habs
+                 - iv_instr * live
+                 - iv_a * col("ra") - iv_b * col("rb")
+                 - iv_c * col("rc2") - iv_hout * s_hout)
+        u = b.perm_ext(8)
+        acc = b.perm_ext(9)
+        u_n = b.perm_ext(8, nxt=True)
+        acc_n = b.perm_ext(9, nxt=True)
+        b.assert_ext_zero(u - u_def)
+        b.assert_ext_zero((acc - u) * b.is_first_row)
+        b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
+        for ell in range(4):
+            b.when_last_row(acc.c[ell] - b.public[ell])
+
+    # ------------------------------------------------------------------
+
+    def generate_perm_trace(self, main, publics, challenges):
+        L = LAYOUT
+        n = main.shape[0]
+
+        def col1(name, i=0):
+            return main[:, L[name].start + i].astype(np.uint64)
+
+        def cols(name):
+            return main[:, L[name]].astype(np.uint64)
+
+        live = col1("live")
+        pc = col1("pc")
+        s = cols("s")
+        op_id = (s * np.arange(len(OPS), dtype=np.uint64)[None, :]
+                 ).sum(axis=1)
+        ia, ib, ic = col1("ia"), col1("ib"), col1("ic")
+        io1, io2 = col1("io1"), col1("io2")
+        imm = cols("imm")
+        m1, m2 = col1("m1"), col1("m2")
+        ra, rb, rc2 = col1("ra"), col1("rb"), col1("rc2")
+        ub = col1("ub")
+        a, b_, c = cols("a"), cols("b"), cols("c")
+        o1, o2 = cols("o1"), cols("o2")
+        instr_pl = np.concatenate(
+            [pc[:, None], op_id[:, None], ia[:, None], ib[:, None],
+             ic[:, None], io1[:, None], io2[:, None], imm, m1[:, None],
+             m2[:, None], ra[:, None], rb[:, None], rc2[:, None],
+             ub[:, None]], axis=1)
+        iv_instr = np_bus_inverse_terms(challenges, BUS_VM_INSTR, instr_pl)
+
+        def val_iv(idx, limbs):
+            return np_bus_inverse_terms(
+                challenges, BUS_VM_VAL,
+                np.concatenate([idx[:, None], limbs], axis=1))
+
+        iv_a = val_iv(ia, a)
+        iv_b = val_iv(ib, b_)
+        iv_c = val_iv(ic, c)
+        iv_o1 = val_iv(io1, o1)
+        iv_o2 = val_iv(io2, o2)
+        iv_habs = np_bus_inverse_terms(
+            challenges, BUS_HASH_ABS, np.stack(
+                [ib, ic, imm[:, 0], a[:, 0]], axis=1))
+        iv_hout = np_bus_inverse_terms(
+            challenges, BUS_HASH_OUT, np.stack(
+                [ib, ic, imm[:, 0], o1[:, 0]], axis=1))
+        s_habs = s[:, OP_IDX["habs"]]
+        s_hout = s[:, OP_IDX["hout"]]
+        u = (iv_o1.astype(np.uint64) * m1[:, None]
+             + iv_o2.astype(np.uint64) * m2[:, None]
+             + iv_habs.astype(np.uint64) * s_habs[:, None]) % P
+        neg = (iv_instr.astype(np.uint64) * live[:, None]
+               + iv_a.astype(np.uint64) * ra[:, None]
+               + iv_b.astype(np.uint64) * rb[:, None]
+               + iv_c.astype(np.uint64) * rc2[:, None]
+               + iv_hout.astype(np.uint64) * s_hout[:, None]) % P
+        u = (u + P - neg) % P
+        acc = np.cumsum(u.astype(object), axis=0) % P
+        return np.concatenate(
+            [iv_instr, iv_a, iv_b, iv_c, iv_o1, iv_o2, iv_habs, iv_hout,
+             u.astype(np.uint64), acc.astype(np.uint64)],
+            axis=1).astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# witness generation
+# ---------------------------------------------------------------------------
+
+
+def vm_trace(program: list[Instr], values: dict[int, tuple],
+             min_log_n: int = 4):
+    """Build the VM trace from the program and the resolved value map
+    (idx → 4 base limbs, produced by the recursion interpreter)."""
+    L = LAYOUT
+    n_real = max(len(program), 1)
+    log_n = max(min_log_n, (n_real - 1).bit_length())
+    n = 1 << log_n
+    trace = np.zeros((n, L.width), dtype=np.uint32)
+    zero = (0, 0, 0, 0)
+    for i, ins in enumerate(program):
+        trace[i, L["live"].start] = 1
+        trace[i, L["pc"].start] = i
+        trace[i, L["s"].start + OP_IDX[ins.op]] = 1
+        for nm, v in (("ia", ins.ia), ("ib", ins.ib), ("ic", ins.ic),
+                      ("io1", ins.io1), ("io2", ins.io2),
+                      ("m1", ins.m1), ("m2", ins.m2), ("ra", ins.ra),
+                      ("rb", ins.rb), ("rc2", ins.rc2), ("ub", ins.ub)):
+            trace[i, L[nm].start] = v % P
+        for k in range(4):
+            trace[i, L["imm"].start + k] = ins.imm[k]
+        a = values.get(ins.ia, zero) if ins.ra else zero
+        bv = values.get(ins.ib, zero) if ins.rb else zero
+        c = values.get(ins.ic, zero) if ins.rc2 else zero
+        beff = ins.imm if ins.ub else bv
+        o1 = values.get(ins.io1, zero)
+        o2 = values.get(ins.io2, zero)
+        for k in range(4):
+            trace[i, L["a"].start + k] = a[k]
+            trace[i, L["b"].start + k] = bv[k]
+            trace[i, L["c"].start + k] = c[k]
+            trace[i, L["beff"].start + k] = beff[k]
+            trace[i, L["o1"].start + k] = o1[k]
+            trace[i, L["o2"].start + k] = o2[k]
+    # dead rows: all op flags 0 → no semantics; pc holds at the program
+    # length (the transition adds live = 0)
+    trace[len(program):, L["pc"].start] = len(program)
+    return trace, []

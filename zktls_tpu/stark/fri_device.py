@@ -128,9 +128,7 @@ def _grind(ch: DevChallenger, pow_bits: int):
         if buf is not None:
             states = states.at[:, :nbuf].set(
                 jnp.broadcast_to(buf[None, :], (batch, nbuf)))
-        cands = (jnp.arange(batch, dtype=jnp.uint64)
-                 + offset.astype(jnp.uint64)) % P
-        cands32 = cands.astype(jnp.uint32)
+        cands32 = (jnp.arange(batch, dtype=jnp.uint32) + offset) % P
         states = states.at[:, nbuf].set(bb.to_mont(cands32))
         out = bb.from_mont(permute_batch(states)[:, 7])
         hits = (out & mask) == 0
@@ -147,6 +145,25 @@ def _grind(ch: DevChallenger, pow_bits: int):
     ch.observe(bb.to_mont(witness[None])[0])
     ch.sample()
     return witness
+
+
+@lru_cache(maxsize=None)
+def _inv_arrays(log_N_max: int, shift: int, final_size: int) -> tuple:
+    """Device 1/(2x) tables for every fold layer — geometry-fixed, so
+    computed once per process (the r3-style per-prove recomputation was
+    ~100k host field inversions, seconds of pure Python every proof)."""
+    from .prover import _inv_2x
+
+    out = []
+    cur_shift = shift
+    cur_log = log_N_max
+    size = 1 << log_N_max
+    while size > final_size:
+        out.append(jnp.asarray(_inv_2x(cur_log, cur_shift)))
+        cur_shift = cur_shift * cur_shift % P
+        cur_log -= 1
+        size //= 2
+    return tuple(out)
 
 
 @lru_cache(maxsize=None)
@@ -220,17 +237,8 @@ def fused_fri(ch, deep_by_log: dict, config, log_N_max: int):
     fn = _fused_fri_fn(log_N_max, joiner_logs, config.fri_final_size,
                        config.pow_bits, config.num_queries, config.shift,
                        n_buf)
-    from .prover import _inv_2x
-
-    inv_arrays = []
-    cur_shift = config.shift
-    cur_log = log_N_max
-    size = 1 << log_N_max
-    while size > config.fri_final_size:
-        inv_arrays.append(jnp.asarray(_inv_2x(cur_log, cur_shift)))
-        cur_shift = cur_shift * cur_shift % P
-        cur_log -= 1
-        size //= 2
+    inv_arrays = _inv_arrays(log_N_max, config.shift,
+                             config.fri_final_size)
     state_plain = jnp.asarray(np.array(ch.state, dtype=np.uint32))
     buf_plain = jnp.asarray(np.array(
         [v % P for v in ch.input_buf] + [0] * (8 - n_buf),
@@ -239,6 +247,17 @@ def fused_fri(ch, deep_by_log: dict, config, log_N_max: int):
                         for k in (log_N_max,) + joiner_logs)
     flat_levels, layer_vals, final, witness, indices = fn(
         state_plain, buf_plain, deep_arrays, tuple(inv_arrays))
+    # pull ALL tree levels in ONE device->host transfer (the per-level
+    # pulls were ~130 tunnel round-trips ≈ 20 s of the r4 prove profile)
+    shapes = [lv.shape for lv in flat_levels]
+    flat_cat = _concat_levels(tuple(shapes))(flat_levels)
+    host_flat = bb.np_from_mont(np.asarray(flat_cat))
+    host_levels = []
+    pos = 0
+    for shp in shapes:
+        cnt = shp[0] * shp[1]
+        host_levels.append(host_flat[pos : pos + cnt].reshape(shp))
+        pos += cnt
     # level counts are geometry-determined: layer ell has 2^(log-1) leaf
     # pairs -> log2(half)+1 levels
     trees = []
@@ -248,10 +267,19 @@ def fused_fri(ch, deep_by_log: dict, config, log_N_max: int):
     while size > config.fri_final_size:
         cnt = (cur_log - 1) + 1
         trees.append(
-            MerkleTree.from_levels(list(flat_levels[pos:pos + cnt])))
+            MerkleTree.from_np_levels(host_levels[pos:pos + cnt]))
         pos += cnt
         cur_log -= 1
         size //= 2
-    assert pos == len(flat_levels)
+    assert pos == len(host_levels)
     return (trees, list(layer_vals), final, int(witness),
             [int(v) for v in np.asarray(indices)])
+
+
+@lru_cache(maxsize=None)
+def _concat_levels(shapes: tuple):
+    @jax.jit
+    def f(levels):
+        return jnp.concatenate([lv.reshape(-1) for lv in levels])
+
+    return f

@@ -89,6 +89,24 @@ def np_ext_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.stack([c0, c1, c2, c3], axis=1)
 
 
+def np_ext_powers(x, n: int) -> np.ndarray:
+    """(n, 4) plain-uint64 array of [1, x, x², …, x^{n−1}] by repeated
+    doubling — log(n) vectorized ext muls instead of n Python Fp4 muls
+    (the prover builds ζ/α/β power tables every proof)."""
+    out = np.zeros((max(n, 1), 4), dtype=np.uint64)
+    out[0, 0] = 1
+    k = 1
+    xk = np.array([list(x.c)], dtype=np.uint64)   # x^k
+    while k < n:
+        m = min(k, n - k)
+        out[k : k + m] = np_ext_mul(out[:m],
+                                    np.broadcast_to(xk, (m, 4)))
+        if 2 * k < n:
+            xk = np_ext_mul(xk, xk)
+        k *= 2
+    return out
+
+
 def np_ext_inverse(a: np.ndarray) -> np.ndarray:
     """Vectorized Fp4 inverse via the norm map (conjugate product lands in
     the base field; one vectorized Fermat inversion there)."""

@@ -357,11 +357,10 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         else:
             n_constraints = _count_constraints_machine(air, publics_full,
                                                        challenges)
-        apow = np.empty((max(n_constraints, 1), 4), dtype=np.uint32)
-        acc = Fp4(1)
-        for i in range(n_constraints):
-            apow[i] = acc.c
-            acc = acc * alpha
+        from .lookup import np_ext_powers
+
+        apow = np_ext_powers(alpha, max(n_constraints, 1)).astype(
+            np.uint32)
 
         sels_np = selector_arrays(log_n, config.log_blowup, s_i)
         sels_m = {k: bb.to_mont(_place(jnp.asarray(sels_np[k]),
@@ -457,12 +456,10 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         d["w_gz"] = w + pw
         d["beta_off"] = total_terms
         total_terms += d["w_z"] + d["w_gz"]
-    bpow = np.empty((total_terms, 4), dtype=np.uint32)
-    acc = Fp4(1)
-    for i in range(total_terms):
-        bpow[i] = acc.c
-        acc = acc * beta
-    bpow_all = bb.np_to_mont(bpow)
+    from .lookup import np_ext_powers
+
+    bpow_all = bb.np_to_mont(np_ext_powers(beta, total_terms).astype(
+        np.uint32))
 
     deep_by_log: dict[int, jnp.ndarray] = {}
     for inst, log_n in metas:

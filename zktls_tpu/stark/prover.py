@@ -87,12 +87,10 @@ def _ext_evals_at(coeffs: jnp.ndarray, zpows: jnp.ndarray) -> np.ndarray:
 
 
 def _zeta_powers(zeta: Fp4, n: int) -> jnp.ndarray:
-    pows = np.empty((n, 4), dtype=np.uint32)
-    acc = Fp4(1)
-    for i in range(n):
-        pows[i] = acc.c
-        acc = acc * zeta
-    return jnp.asarray(bb.np_to_mont(pows))
+    from .lookup import np_ext_powers
+
+    return jnp.asarray(bb.np_to_mont(
+        np_ext_powers(zeta, n).astype(np.uint32)))
 
 
 def _pair_rows(values: jnp.ndarray) -> jnp.ndarray:

@@ -85,6 +85,40 @@ def test_tampered_inner_proof_rejected(inner):
                       INNER_CFG, proof=bad)
 
 
+def test_recursion_multichip_inner(inner):
+    """Generality beyond the toy: the recursion program verifies a REAL
+    multi-chip inner machine (stream parser + GCM data + xor table, with
+    LogUp buses, perm traces, periodic columns and public messages)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_gcm_data import AIRS, CFG, _setup
+
+    chips, msgs = _setup()
+    inner_proof = prove_machine(chips, binding=b"gcmdata", config=CFG)
+    assert verify_machine(AIRS, inner_proof, binding=b"gcmdata",
+                          public_messages=msgs, config=CFG)
+    prog = build_program(AIRS, MachineShape.of(inner_proof), b"gcmdata",
+                         msgs, CFG, proof=inner_proof)
+    # every verifier assert held on the real proof (strict mode)
+    assert len(prog.instrs) > 10_000
+    # the shape-only rebuild matches
+    prog2 = build_program(AIRS, MachineShape.of(inner_proof), b"gcmdata",
+                          msgs, CFG, proof=None)
+    assert len(prog.instrs) == len(prog2.instrs)
+    # a tampered bus message changes the program's constants, and the
+    # real proof no longer satisfies it
+    bad = [(t, list(p), m) for t, p, m in msgs]
+    for ent in bad:
+        if ent[0] == 0x113:  # BUS_FILTERED
+            ent[1][2] ^= 1
+            break
+    with pytest.raises(VerificationError):
+        build_program(AIRS, MachineShape.of(inner_proof), b"gcmdata",
+                      bad, CFG, proof=inner_proof)
+
+
 def test_forged_witness_rejected_by_outer_verifier(inner):
     """A malicious prover cannot fake the recursion witness: mutating a
     VM witness value after program build breaks either a sponge chain, a

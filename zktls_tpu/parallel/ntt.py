@@ -107,3 +107,65 @@ def make_ntt_sharded(mesh: Mesh, axis: str = "ntt"):
 def ntt_sharded(x: jnp.ndarray, mesh: Mesh, axis: str = "ntt",
                 inverse: bool = False) -> jnp.ndarray:
     return make_ntt_sharded(mesh, axis)(x, inverse=inverse)
+
+
+# ---------------------------------------------------------------------------
+# column-batched sharded transforms + the machine-prover LDE entry point
+# ---------------------------------------------------------------------------
+
+
+def _four_step_cols(x: jnp.ndarray, log_n1: int, log_n2: int,
+                    shard_spec) -> jnp.ndarray:
+    """(n, C) four-step NTT along axis 0: identical math to _four_step,
+    with the column axis riding along (replicated across the mesh; the j1
+    axis is sharded so step 3 forces the all-to-all)."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n = n1 * n2
+    C = x.shape[1]
+    m = x.reshape(n2, n1, C).transpose(1, 0, 2)     # M[j1, j2, c]
+    if shard_spec is not None:
+        m = jax.lax.with_sharding_constraint(m, shard_spec)
+    # step 1: NTT along j2 (axis 1) — flatten (j1, c) into the batch
+    a = _ntt_fn(log_n2, False)(
+        m.transpose(1, 0, 2).reshape(n2, n1 * C))
+    a = a.reshape(n2, n1, C).transpose(1, 0, 2)     # (j1, k2, c)
+    tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, False))[:, :, None]
+    b = bb.mul(a, tw)
+    if shard_spec is not None:
+        b = jax.lax.with_sharding_constraint(b, shard_spec)
+    # step 3: NTT along j1 (axis 0)
+    o = _ntt_fn(log_n1, False)(b.reshape(n1, n2 * C))
+    return o.reshape(n1, n2, C).reshape(n, C)       # X[n2 k1 + k2, c]
+
+
+def make_coset_lde_sharded(mesh: Mesh, axis: str = "ntt"):
+    """A drop-in replacement for ops.ntt.coset_lde whose two transforms
+    run as sharded four-step NTTs over the mesh axis — the intra-proof
+    model-parallel LDE of the machine prover (BASELINE north-star).
+    Bit-identical to the local coset_lde (pure integer math)."""
+    from ..ops.ntt import _coset_powers
+
+    def lde_fn(values: jnp.ndarray, log_blowup: int,
+               shift: int) -> jnp.ndarray:
+        n, C = values.shape
+        log_n = n.bit_length() - 1
+        spec_small = NamedSharding(mesh, P(axis, None, None))
+        l1 = log_n // 2
+        # inverse NTT via the forward four-step on index-reversed input
+        fwd = _four_step_cols(values, l1, log_n - l1, spec_small)
+        idx = jnp.concatenate([jnp.array([0], jnp.int32),
+                               jnp.arange(n - 1, 0, -1, dtype=jnp.int32)])
+        n_inv_m = jnp.uint32(pow(n, FIELD_P - 2, FIELD_P)
+                             * bb.MONT_R % FIELD_P)
+        coeffs = bb.mul(fwd[idx], jnp.broadcast_to(n_inv_m, (n, C)))
+        scale = jnp.asarray(_coset_powers(log_n, shift))[:, None]
+        coeffs = bb.mul(coeffs, scale)
+        big = (1 << log_blowup) * n
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((big - n, C), jnp.uint32)], axis=0)
+        log_big = big.bit_length() - 1
+        lb1 = log_big // 2
+        spec_big = NamedSharding(mesh, P(axis, None, None))
+        return _four_step_cols(coeffs, lb1, log_big - lb1, spec_big)
+
+    return jax.jit(lde_fn, static_argnames=("log_blowup", "shift"))

@@ -399,6 +399,58 @@ class StarkGuestProver:
             public_messages=journal_public_messages(journal),
             config=self.config)
 
+    # -- recursion: the compress rung (stark/recursion.py) ----------------
+
+    def compress(self, journal: bytes, proof: bytes,
+                 outer_config: StarkConfig | None = None,
+                 timings: dict | None = None) -> bytes:
+        """Wrap a machine proof in a recursion proof: the verifier-VM
+        machine (VmAir + sponge chips) verifies it in-circuit.  Returns a
+        self-describing blob {shape, proof}; verify with
+        `verify_compressed(journal, blob)`."""
+        from ..core import cbor
+        from ..stark.recursion import MachineShape, recursion_prove
+
+        mp = MachineProof.from_bytes(proof)
+        shape, outer = recursion_prove(
+            journal_airs(journal, mp), mp, journal,
+            public_messages=journal_public_messages(journal),
+            inner_config=self.config,
+            outer_config=outer_config or self.config,
+            timings=timings)
+        return cbor.dumps({"shape": shape.to_bytes(),
+                           "proof": outer.to_bytes()})
+
+    def verify_compressed(self, journal: bytes, blob: bytes,
+                          outer_config: StarkConfig | None = None) -> bool:
+        """Verify a compressed (recursion) proof: rebuilds the verifier
+        program from (journal, shape) and checks the outer machine proof
+        — journal-bound exactly like the direct verify."""
+        from ..core import cbor
+        from ..stark.recursion import MachineShape, recursion_verify
+        from ..stark.verifier import VerificationError
+
+        obj = cbor.loads(blob)
+        shape = MachineShape.from_bytes(obj["shape"])
+        # required-chip policy matches the direct path: the shape's chip
+        # set must satisfy the journal's requirements
+        names = {n for n, _l, _p in shape.chips}
+        registry = _air_registry()
+        unknown = names - set(registry)
+        if unknown:
+            raise VerificationError(f"unknown chips in shape: {unknown}")
+        airs = [registry[n]() for n in names]
+
+        class _P:
+            chips = [type("C", (), {"name": n})() for n in names]
+
+        journal_airs(journal, _P())   # raises if required chips missing
+        return recursion_verify(
+            airs, shape, MachineProof.from_bytes(obj["proof"]), journal,
+            public_messages=journal_public_messages(journal),
+            inner_config=self.config,
+            outer_config=outer_config or self.config)
+
     # -- multi-transcript batching (BASELINE.json configs 4-5) -----------
 
     def prove_batch(self, guest_inputs: list[GuestInput],

@@ -211,11 +211,16 @@ def _sample_challenges(ch: Challenger) -> list[Fp4]:
 def prove_machine(chips: list[ChipInstance], binding: bytes,
                   config: StarkConfig = DEFAULT_CONFIG,
                   timings: dict | None = None,
-                  devices: list | None = None) -> MachineProof:
+                  devices: list | None = None,
+                  mesh=None, ntt_axis: str = "ntt") -> MachineProof:
     """devices: optional jax.Device list — chips are placed round-robin and
     their commit/quotient work runs concurrently (async dispatch per
-    device); the shared FRI runs on devices[0].  Proof bytes are identical
-    to the single-device result (pure field arithmetic)."""
+    device); the shared FRI runs on devices[0].  mesh: optional
+    jax.sharding.Mesh with an `ntt_axis` axis — the LARGEST chips' trace
+    LDEs then run as sharded four-step NTTs (butterfly all-to-all over
+    ICI, parallel/ntt.py), the intra-proof model-parallel axis.  Proof
+    bytes are identical to the single-device result (pure field
+    arithmetic)."""
     import time as _time
 
     def _mark(label, _t=[None]):
@@ -278,12 +283,35 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             return _jax.device_put(arr, devices[idx % len(devices)])
         return arr
 
+    lde_sharded = None
+    if mesh is not None and ntt_axis in getattr(mesh, "shape", {}) \
+            and mesh.shape[ntt_axis] > 1:
+        from ..parallel.ntt import make_coset_lde_sharded
+
+        lde_sharded = make_coset_lde_sharded(mesh, ntt_axis)
+
     per = {}
     for idx, (inst, log_n) in enumerate(metas):
         name = inst.air.name
         s_i = shifts[name]
         trace_m = bb.to_mont(_place(jnp.asarray(inst.trace), idx))
-        lde = coset_lde(trace_m, config.log_blowup, s_i)
+        if lde_sharded is not None and log_n == metas[0][1]:
+            # widest domain: shard the LDE's NTTs over the ntt mesh axis
+            # (the trace enters mesh-replicated; the in-fn sharding
+            # constraints distribute the butterfly stages)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            trace_m = _jax.device_put(
+                trace_m, NamedSharding(mesh, PartitionSpec()))
+            lde = lde_sharded(trace_m, config.log_blowup, s_i)
+            # downstream stages (trees, quotient) run per-chip on one
+            # device: gather the sharded extension back
+            home = (devices[idx % len(devices)] if devices
+                    else list(mesh.devices.flat)[0])
+            lde = _jax.device_put(lde, home)
+            trace_m = _jax.device_put(trace_m, home)
+        else:
+            lde = coset_lde(trace_m, config.log_blowup, s_i)
         tree = MerkleTree(lde)
         per[name] = {
             "inst": inst, "log_n": log_n, "s": s_i, "trace_m": trace_m,

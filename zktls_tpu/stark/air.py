@@ -366,6 +366,23 @@ def scalar_vec_hooks(fold: Callable[[Any], None],
                 f"mat_const: {len(g.items)} items vs "
                 f"{len(weights_2d)} weight rows")
         cols = len(weights_2d[0])
+        # fast path: all-Fp4 items × integer weights — numpy limb-wise
+        # (the ModMul chips' point-evaluation matrices are (256, 511);
+        # the Python loop was the host verifier's hottest spot)
+        if g.items and all(isinstance(v, Fp4) for v in g.items):
+            import numpy as _np
+
+            from ..ops.field_ref import P as _P
+
+            arr = _np.array([[int(x) for x in v.c] for v in g.items],
+                            dtype=_np.uint64)              # (L, 4)
+            w = _np.asarray(weights_2d, dtype=_np.uint64) % _P  # (L, m)
+            out_l = _np.empty((cols, 4), dtype=_np.uint64)
+            for ell in range(4):
+                prod = (arr[:, ell][:, None] * w) % _P      # < 2^62
+                out_l[:, ell] = prod.sum(axis=0) % _P       # L ≤ 2^25 ok
+            return ScalarVec(
+                Fp4(*[int(x) for x in row]) for row in out_l)
         out = []
         for j in range(cols):
             acc = None

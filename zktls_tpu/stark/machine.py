@@ -840,12 +840,31 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
     for entry in geo:
         joiners_by_log.setdefault(entry[3], []).append(entry)
 
+    # vectorized DEEP prep: global β powers + per-chip eval vectors
+    # (the per-column Python fold was the dominant verify cost)
+    from .lookup import np_ext_mul, np_ext_powers
+
+    total_terms = 0
+    deep_prep = {}
+    for cp, air, n, log_N, s_i in geo:
+        w_z = air.width + air.perm_width + 4 * config.blowup
+        w_gz = air.width + air.perm_width
+        ev_z = np.array([list(v.c) for v in (cp.tl + cp.pl + cp.qe)],
+                        dtype=np.uint64)
+        ev_gz = np.array([list(v.c) for v in (cp.tn + cp.pn)],
+                         dtype=np.uint64)
+        deep_prep[cp.name] = (total_terms, w_z, w_gz, ev_z, ev_gz)
+        total_terms += w_z + w_gz
+    bpow_np = np_ext_powers(beta, max(total_terms, 1))
+
     for mq, expect_index in zip(proof.queries, query_indices):
         _check(mq.index == expect_index, "query index mismatch")
         q = mq.index
         _check(len(mq.openings) == len(geo), "bad opening count")
-        # Merkle checks + per-chip reduced openings r_i(x)
-        reduced: dict[str, Fp4] = {}
+        # Merkle checks + per-chip reduced openings r_i(x) with GLOBAL
+        # β-power offsets (equivalent to local powers rescaled by the
+        # running β accumulator)
+        scaled: dict[int, Fp4] = {}
         for (cp, air, n, log_N, s_i), op in zip(geo, mq.openings):
             N_i = 1 << log_N
             j = q % N_i
@@ -871,42 +890,23 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
             x = Fp4(s_i * pow(two_adic_root(log_N), j, P) % P)
             g = two_adic_root(cp.log_n)
             g_zeta = zeta * g
-            num_z = Fp4(0)
-            bpow = Fp4(1)
-            # β-power offset: recompute the global ordering
-            # (accumulated across chips in machine order)
-            for jcol in range(w):
-                num_z = num_z + bpow * (Fp4(op.trace_row[jcol]) -
-                                        cp.tl[jcol])
-                bpow = bpow * beta
-            for jcol in range(pw):
-                num_z = num_z + bpow * (Fp4(op.perm_row[jcol]) -
-                                        cp.pl[jcol])
-                bpow = bpow * beta
-            for c in range(4 * config.blowup):
-                num_z = num_z + bpow * (Fp4(op.quotient_row[c]) -
-                                        cp.qe[c])
-                bpow = bpow * beta
-            num_gz = Fp4(0)
-            for jcol in range(w):
-                num_gz = num_gz + bpow * (Fp4(op.trace_row[jcol]) -
-                                          cp.tn[jcol])
-                bpow = bpow * beta
-            for jcol in range(pw):
-                num_gz = num_gz + bpow * (Fp4(op.perm_row[jcol]) -
-                                          cp.pn[jcol])
-                bpow = bpow * beta
-            reduced[cp.name] = num_z / (x - zeta) + num_gz / (x - g_zeta)
-        # global β-power continuity: each chip's local power run must chain
-        # — rebuild r_i with the proper global offset by scaling
-        beta_acc = Fp4(1)
-        scaled: dict[int, Fp4] = {}
-        for cp, air, n, log_N, s_i in geo:
-            r = reduced[cp.name]
-            scaled[log_N] = scaled.get(log_N, Fp4(0)) + beta_acc * r
-            w_terms = (air.width + air.perm_width) * 2 + 4 * config.blowup
-            for _ in range(w_terms):
-                beta_acc = beta_acc * beta
+            off, w_z, w_gz, ev_z, ev_gz = deep_prep[cp.name]
+            row_z = np.array(
+                [v % P for v in (list(op.trace_row) + list(op.perm_row)
+                                 + list(op.quotient_row))],
+                dtype=np.uint64)
+            diff_z = (P - ev_z) % P
+            diff_z[:, 0] = (diff_z[:, 0] + row_z) % P
+            terms = np_ext_mul(bpow_np[off : off + w_z], diff_z)
+            num_z = Fp4(*[int(v) for v in terms.sum(axis=0) % P])
+            row_gz = row_z[: w_gz]
+            diff_gz = (P - ev_gz) % P
+            diff_gz[:, 0] = (diff_gz[:, 0] + row_gz) % P
+            terms = np_ext_mul(bpow_np[off + w_z : off + w_z + w_gz],
+                               diff_gz)
+            num_gz = Fp4(*[int(v) for v in terms.sum(axis=0) % P])
+            r = num_z / (x - zeta) + num_gz / (x - g_zeta)
+            scaled[log_N] = scaled.get(log_N, Fp4(0)) + r
         # FRI walk with joiners
         v = Fp4(0)
         qq = q

@@ -201,22 +201,49 @@ def verify(air: Air, proof: StarkProof,
     return True
 
 
-def _eval_periodic(pattern, zeta: Fp4, n: int) -> Fp4:
-    """Evaluate the degree-<m interpolant of a period-m pattern at ζ^{n/m}
-    (naive inverse DFT + Horner; m is small, e.g. 64)."""
+_PERIODIC_COEFFS: dict = {}
+
+
+def _periodic_coeffs(pattern) -> list[int]:
+    """Interpolation coefficients of a period-m pattern (ζ-independent,
+    cached by content — keccak evaluates ~90 length-256 patterns per
+    verify)."""
+    key = bytes(memoryview(__import__("numpy").ascontiguousarray(pattern)))
+    hit = _PERIODIC_COEFFS.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
     m = len(pattern)
     w = two_adic_root(m.bit_length() - 1)
     w_inv = pow(w, P - 2, P)
     m_inv = pow(m, P - 2, P)
+    pat = np.asarray(pattern, dtype=np.uint64) % P
+    steps = np.empty(m, dtype=np.uint64)
+    acc = 1
+    for k in range(m):
+        steps[k] = acc
+        acc = acc * w_inv % P
+    # V[k, j] = (w^-k)^j  built by cumulative products per row (vector-
+    # ized over k): row k = steps[k]^j
     coeffs = []
     for k in range(m):
-        step = pow(w_inv, k, P)
-        acc = 0
-        wk = 1
+        powers = np.empty(m, dtype=np.uint64)
+        acc = 1
+        s = int(steps[k])
         for j in range(m):
-            acc = (acc + int(pattern[j]) * wk) % P
-            wk = wk * step % P
-        coeffs.append(acc * m_inv % P)
+            powers[j] = acc
+            acc = acc * s % P
+        coeffs.append(int((pat * powers % P).sum() % P) * m_inv % P)
+    _PERIODIC_COEFFS[key] = coeffs
+    return coeffs
+
+
+def _eval_periodic(pattern, zeta: Fp4, n: int) -> Fp4:
+    """Evaluate the degree-<m interpolant of a period-m pattern at ζ^{n/m}
+    (cached inverse DFT + Horner; m is small, e.g. 64)."""
+    m = len(pattern)
+    coeffs = _periodic_coeffs(pattern)
     y = zeta ** (n // m)
     out = Fp4(0)
     for c in reversed(coeffs):

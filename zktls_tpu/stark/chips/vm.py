@@ -336,38 +336,45 @@ class VmAir(Air):
 def vm_trace(program: list[Instr], values: dict[int, tuple],
              min_log_n: int = 4):
     """Build the VM trace from the program and the resolved value map
-    (idx → 4 base limbs, produced by the recursion interpreter)."""
+    (idx → 4 base limbs, produced by the recursion interpreter).
+    Vectorized: full-scale recursion programs are millions of rows."""
     L = LAYOUT
     n_real = max(len(program), 1)
     log_n = max(min_log_n, (n_real - 1).bit_length())
     n = 1 << log_n
     trace = np.zeros((n, L.width), dtype=np.uint32)
-    zero = (0, 0, 0, 0)
-    for i, ins in enumerate(program):
-        trace[i, L["live"].start] = 1
-        trace[i, L["pc"].start] = i
-        trace[i, L["s"].start + OP_IDX[ins.op]] = 1
-        for nm, v in (("ia", ins.ia), ("ib", ins.ib), ("ic", ins.ic),
-                      ("io1", ins.io1), ("io2", ins.io2),
-                      ("m1", ins.m1), ("m2", ins.m2), ("ra", ins.ra),
-                      ("rb", ins.rb), ("rc2", ins.rc2), ("ub", ins.ub)):
-            trace[i, L[nm].start] = v % P
-        for k in range(4):
-            trace[i, L["imm"].start + k] = ins.imm[k]
-        a = values.get(ins.ia, zero) if ins.ra else zero
-        bv = values.get(ins.ib, zero) if ins.rb else zero
-        c = values.get(ins.ic, zero) if ins.rc2 else zero
-        beff = ins.imm if ins.ub else bv
-        o1 = values.get(ins.io1, zero)
-        o2 = values.get(ins.io2, zero)
-        for k in range(4):
-            trace[i, L["a"].start + k] = a[k]
-            trace[i, L["b"].start + k] = bv[k]
-            trace[i, L["c"].start + k] = c[k]
-            trace[i, L["beff"].start + k] = beff[k]
-            trace[i, L["o1"].start + k] = o1[k]
-            trace[i, L["o2"].start + k] = o2[k]
+    m = len(program)
+    if m == 0:
+        return trace, []
+    # gather instruction fields into arrays
+    ops = np.fromiter((OP_IDX[i.op] for i in program), np.int64, m)
+    f = {nm: np.fromiter((getattr(i, nm) % P for i in program),
+                         np.uint32, m)
+         for nm in ("ia", "ib", "ic", "io1", "io2", "m1", "m2", "ra",
+                    "rb", "rc2", "ub")}
+    imm = np.array([i.imm for i in program], dtype=np.uint32)
+    trace[:m, L["live"].start] = 1
+    trace[:m, L["pc"].start] = np.arange(m, dtype=np.uint32)
+    trace[np.arange(m), L["s"].start + ops] = 1
+    for nm, arr in f.items():
+        trace[:m, L[nm].start] = arr
+    trace[:m, L["imm"]] = imm
+    # value table: idx → limbs (idx 0 = the zero value)
+    n_vals = max(values.keys(), default=0) + 1
+    vt = np.zeros((n_vals, 4), dtype=np.uint32)
+    for idx, limbs in values.items():
+        vt[idx] = limbs
+    a = vt[f["ia"]] * f["ra"][:, None]
+    bv = vt[f["ib"]] * f["rb"][:, None]
+    c = vt[f["ic"]] * f["rc2"][:, None]
+    beff = np.where(f["ub"][:, None].astype(bool), imm, bv)
+    trace[:m, L["a"]] = a
+    trace[:m, L["b"]] = bv
+    trace[:m, L["c"]] = c
+    trace[:m, L["beff"]] = beff
+    trace[:m, L["o1"]] = vt[f["io1"]]
+    trace[:m, L["o2"]] = vt[f["io2"]]
     # dead rows: all op flags 0 → no semantics; pc holds at the program
     # length (the transition adds live = 0)
-    trace[len(program):, L["pc"].start] = len(program)
+    trace[m:, L["pc"].start] = m
     return trace, []

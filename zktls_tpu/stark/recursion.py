@@ -108,24 +108,29 @@ class Val:
         self.prog = prog
         self.idx = idx
 
-    def _lift(self, o):
-        if isinstance(o, Val):
-            return o
-        if isinstance(o, (int, Fp4)):
-            return o
-        return NotImplemented
+    @staticmethod
+    def _ok(o) -> bool:
+        return isinstance(o, (Val, int, Fp4))
 
     def __add__(self, o):
+        if not self._ok(o):
+            return NotImplemented   # defer to ScalarVec/ExtVal reflected op
         return self.prog.add(self, o)
     __radd__ = __add__
 
     def __sub__(self, o):
+        if not self._ok(o):
+            return NotImplemented
         return self.prog.sub(self, o)
 
     def __rsub__(self, o):
+        if not self._ok(o):
+            return NotImplemented
         return self.prog.sub(o, self)
 
     def __mul__(self, o):
+        if not self._ok(o):
+            return NotImplemented
         return self.prog.mul(self, o)
     __rmul__ = __mul__
 

@@ -177,42 +177,53 @@ def main() -> None:
     RESULT["vs_baseline"] = round(81.79 / total, 3)
     RESULT["partial"] = True
 
-    # ---- 8-transcript batch (BASELINE.json config 4) ---------------------
-    # runs BEFORE the optional extras: two rounds running the watchdog cut
-    # it, so it gets the budget right after the headline
-    try:
-        t0 = time.time()
-        journals, batch_proof = prover.prove_batch([guest_input] * 8)
-        t_batch_first = time.time() - t0
-        RESULT["batch8_first_s"] = round(t_batch_first, 3)
-        t0 = time.time()
-        journals, batch_proof = prover.prove_batch([guest_input] * 8)
-        t_batch = time.time() - t0
-        assert prover.verify_batch(journals, batch_proof)
-        RESULT["batch8_prove_s"] = round(t_batch, 3)
-        RESULT["batch8_per_transcript_s"] = round(t_batch / 8, 3)
-        RESULT["batch8_proof_bytes"] = len(batch_proof)
-        log(f"batch8: first {t_batch_first:.2f}s, cached {t_batch:.2f}s "
-            f"({t_batch / 8:.2f}s/transcript)")
-    except Exception as e:  # pragma: no cover
-        log("batch8 failed:", e)
-        RESULT["batch8_error"] = str(e)[:200]
-
     # ---- per-stage timing breakdown (serialized; diagnostic only) --------
-    stage_timings: dict = {}
-    t0 = time.time()
-    proof = prove_machine(chips, binding=out.journal, config=cfg,
-                          timings=stage_timings)
-    RESULT["prove_staged_s"] = round(time.time() - t0, 3)
-    RESULT["prove_stages"] = stage_timings
-    log(f"machine prove (stage-instrumented): "
-        f"{RESULT['prove_staged_s']:.2f}s, stages {stage_timings}")
+    try:
+        stage_timings: dict = {}
+        t0 = time.time()
+        proof = prove_machine(chips, binding=out.journal, config=cfg,
+                              timings=stage_timings)
+        RESULT["prove_staged_s"] = round(time.time() - t0, 3)
+        RESULT["prove_stages"] = stage_timings
+        log(f"machine prove (stage-instrumented): "
+            f"{RESULT['prove_staged_s']:.2f}s, stages {stage_timings}")
+    except Exception as e:  # pragma: no cover
+        log("staged prove failed:", e)
+        RESULT["staged_error"] = str(e)[:200]
 
     # ---- kernel microbenchmarks with speed-of-light ----------------------
     try:
         _kernel_benches()
     except Exception as e:  # pragma: no cover
         log("kernel bench failed:", e)
+
+    # ---- multi-transcript batches (BASELINE.json config 4), LAST and
+    # ascending: batch8's fully-materialized working set can exceed one
+    # chip's HBM and crash the TPU worker (it did in the r4 warm-up), and
+    # a dead worker kills the whole process — so every earlier metric is
+    # locked in first and each smaller batch lands before the next risk.
+    for bsz in (2, 4, 8):
+        try:
+            t0 = time.time()
+            journals, batch_proof = prover.prove_batch([guest_input] * bsz)
+            t_batch_first = time.time() - t0
+            RESULT[f"batch{bsz}_first_s"] = round(t_batch_first, 3)
+            t0 = time.time()
+            journals, batch_proof = prover.prove_batch([guest_input] * bsz)
+            t_batch = time.time() - t0
+            assert prover.verify_batch(journals, batch_proof)
+            RESULT[f"batch{bsz}_prove_s"] = round(t_batch, 3)
+            RESULT[f"batch{bsz}_per_transcript_s"] = round(
+                t_batch / bsz, 3)
+            RESULT[f"batch{bsz}_proof_bytes"] = len(batch_proof)
+            RESULT["batch_per_transcript_s"] = round(t_batch / bsz, 3)
+            RESULT["batch_size_measured"] = bsz
+            log(f"batch{bsz}: first {t_batch_first:.2f}s, cached "
+                f"{t_batch:.2f}s ({t_batch / bsz:.2f}s/transcript)")
+        except Exception as e:  # pragma: no cover
+            log(f"batch{bsz} failed:", e)
+            RESULT[f"batch{bsz}_error"] = str(e)[:200]
+            break
 
     # ---- emit ------------------------------------------------------------
     signal.alarm(0)
@@ -313,4 +324,9 @@ def _kernel_benches() -> None:
 if __name__ == "__main__":
     # keep everything on one chip unless the driver says otherwise
     os.environ.setdefault("ZKTLS_BENCH", "1")
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — ALWAYS emit the JSON line
+        RESULT["fatal_error"] = f"{type(e).__name__}: {e}"[:300]
+        _emit_result()
+        raise

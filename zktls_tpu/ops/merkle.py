@@ -219,6 +219,7 @@ class MerkleTree:
             self._levels_np = [
                 bb.np_from_mont(np.asarray(level)) for level in self.levels
             ]
+            self.levels = None   # free the device copies (HBM pressure)
         return self._levels_np
 
     @property

@@ -469,6 +469,11 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         for k in ("tl", "tn", "pl", "pn", "qe"):
             for v in d["evals"][k]:
                 ch.observe_ext(v)
+        # HBM lifetime: the coefficient forms and raw mont traces are done
+        # (batch8's fully-materialized working set crashed the worker)
+        d.pop("trace_m", None)
+        d.pop("perm_m", None)
+        d.pop("q_chunks", None)
     _mark("ood_openings")
 
     # 5. DEEP composition per chip, grouped by domain size ------------------

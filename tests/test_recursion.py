@@ -147,3 +147,34 @@ def test_forged_witness_rejected_by_outer_verifier(inner):
         verify_machine(outer_airs(), bad_outer, binding=outer_binding,
                        public_messages=_outer_public_messages(prog),
                        config=OUTER_CFG)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("ZKTLS_SLOW_TESTS"),
+                    reason="full-scale program build is ~4 min + ~6 GB; "
+                           "set ZKTLS_SLOW_TESTS=1")
+def test_full_zktls_program_builds():
+    """The recursion compiler handles the COMPLETE 10-chip zkTLS machine
+    proof: building the program in strict mode re-verifies the proof
+    instruction-by-instruction (measured r4: 10.1M instructions, 37k w16
+    + 44k w24 sponge permutations, ~250 s build)."""
+    from zktls_tpu.core.legacy import LegacyGuestInput
+    from zktls_tpu.guest.program import run_guest
+    from zktls_tpu.provers.stark import (
+        build_chip_instances,
+        journal_airs,
+        journal_public_messages,
+    )
+    from tests.conftest import FIXTURE_CBOR
+
+    gi = LegacyGuestInput.from_cbor(
+        FIXTURE_CBOR.read_bytes()).to_guest_input()
+    cfg = StarkConfig(log_blowup=2, num_queries=8, pow_bits=0,
+                      fri_final_size=64)
+    out = run_guest(gi)
+    proof = prove_machine(build_chip_instances(out), binding=out.journal,
+                          config=cfg)
+    airs = journal_airs(out.journal, proof)
+    msgs = journal_public_messages(out.journal)
+    prog = build_program(airs, MachineShape.of(proof), out.journal, msgs,
+                         cfg, proof=proof)
+    assert len(prog.instrs) > 1_000_000

@@ -47,7 +47,7 @@ from ..ext_val import ExtVal
 __all__ = ["VmAir", "vm_trace", "OPS", "Instr", "instr_payload"]
 
 OPS = ["const", "add", "sub", "mul", "sel", "bit", "habs", "hout",
-       "azero", "wit"]
+       "azero", "wit", "mac"]
 OP_IDX = {name: i for i, name in enumerate(OPS)}
 
 
@@ -174,15 +174,19 @@ class VmAir(Air):
         # --- op semantics (program fields are verifier-pinned, so each
         # op's constraint is gated by its one-hot flag) ---
         (s_const, s_add, s_sub, s_mul, s_sel, s_bit, s_habs, s_hout,
-         s_az, _s_wit) = s   # wit: output unconstrained (proof data)
+         s_az, _s_wit, s_mac) = s   # wit: output unconstrained
         for i in range(4):
             b.assert_zero(s_const * (O1[i] - IMM[i]))
             b.assert_zero(s_add * (O1[i] - A[i] - BE[i]))
             b.assert_zero(s_sub * (O1[i] - A[i] + BE[i]))
             b.assert_zero(s_az * A[i])
-        mul_limbs = _ext_mul_limbs(A, BE)
+        mul_limbs = _ext_mul_limbs(BE, C)
+        mul_ab = _ext_mul_limbs(A, BE)
         for i in range(4):
-            b.assert_zero(s_mul * (O1[i] - mul_limbs[i]))
+            b.assert_zero(s_mul * (O1[i] - mul_ab[i]))
+            # MAC: out = a + b_eff·c  (fused multiply-add — the DEEP dot
+            # products halve their row count with it)
+            b.assert_zero(s_mac * (O1[i] - A[i] - mul_limbs[i]))
         # SEL: out = a0·b + (1−a0)·c  (a is a bit in limb 0)
         for i in range(4):
             b.assert_zero(s_sel * (O1[i] - A[0] * BE[i]

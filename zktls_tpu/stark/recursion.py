@@ -232,6 +232,26 @@ class Prog:
     def mul(self, a, b) -> Val:
         return self._binop("mul", a, b)
 
+    def mac(self, a: Val, b, c: Val) -> Val:
+        """a + b·c in one instruction (b may be an immediate)."""
+        if not isinstance(a, Val):
+            a = self.const(a)
+        if not isinstance(c, Val):
+            return self.add(a, self.mul(c, b)) if isinstance(b, Val) \
+                else self.add(a, _fp4(b) * _fp4(c))
+        if isinstance(b, Val):
+            r = self.vals[a.idx] + self.vals[b.idx] * self.vals[c.idx]
+            out = self._new(r)
+            self._emit(op="mac", ia=self._use(a), ib=self._use(b),
+                       ic=self._use(c), io1=out.idx, ra=1, rb=1, rc2=1)
+            return out
+        bv = _fp4(b)
+        r = self.vals[a.idx] + bv * self.vals[c.idx]
+        out = self._new(r)
+        self._emit(op="mac", ia=self._use(a), ic=self._use(c),
+                   io1=out.idx, imm=bv.c, ra=1, rc2=1, ub=1)
+        return out
+
     def sel(self, bit: Val, x: Val, y: Val) -> Val:
         """bit·x + (1−bit)·y — bit must be a BIT output."""
         bv = self.vals[bit.idx]
@@ -293,12 +313,9 @@ class Prog:
 
     def combine4(self, limbs: list[Val]) -> Val:
         """c0 + c1·X + c2·X² + c3·X³ from 4 base-only values."""
-        acc = self.mul(limbs[3], _X)
-        acc = self.add(acc, limbs[2])
-        acc = self.mul(acc, _X)
-        acc = self.add(acc, limbs[1])
-        acc = self.mul(acc, _X)
-        return self.add(acc, limbs[0])
+        acc = self.mac(limbs[2], _X, limbs[3])
+        acc = self.mac(limbs[1], _X, acc)
+        return self.mac(limbs[0], _X, acc)
 
     # -- sponge plumbing ----------------------------------------------------
 
@@ -351,7 +368,7 @@ class Prog:
         produced: dict[int, int] = {}
         for i, ins in enumerate(self.instrs):
             if ins.op in ("const", "add", "sub", "mul", "sel", "hout",
-                          "wit"):
+                          "wit", "mac"):
                 produced[ins.io1] = i
                 ins.m1 = self.uses.get(ins.io1, 0)
             if ins.op == "bit":
@@ -486,8 +503,8 @@ def _pow_chain(prog: Prog, x: Val, n: int) -> list[Val]:
 def _index_value(prog: Prog, bits: list[Val]) -> Val:
     acc = None
     for i, b in enumerate(bits):
-        t = prog.mul(b, 1 << i)
-        acc = t if acc is None else prog.add(acc, t)
+        acc = (prog.mul(b, 1 << i) if acc is None
+               else prog.mac(acc, 1 << i, b))
     return acc if acc is not None else prog.const(0)
 
 
@@ -538,7 +555,7 @@ def _fold_constraints_vm(prog: Prog, air: Air, local, nxt, public, sels,
     def fold(expr):
         if not isinstance(expr, Val):
             expr = prog.const(expr)
-        acc[0] = prog.add(acc[0], prog.mul(apow[0], expr))
+        acc[0] = prog.mac(acc[0], apow[0], expr)
         apow[0] = prog.mul(apow[0], alpha)
 
     builder = AirBuilder(
@@ -688,8 +705,7 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
         mult = entry[2] if len(entry) > 2 else -1
         fp = prog.const(tag)
         for i, pv in enumerate(payload):
-            term = prog.mul(challenges_vals[1 + i], int(pv) % P)
-            fp = prog.add(fp, term)
+            fp = prog.mac(fp, int(pv) % P, challenges_vals[1 + i])
         term = prog.inv(prog.sub(challenges_vals[0], fp))
         if mult == 1:
             total = prog.add(total, term)
@@ -768,11 +784,11 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
         vec_z = ([v for _l, v in ev["tl"]] + [v for _l, v in ev["pl"]]
                  + [v for _l, v in ev["qe"]])
         for i, v in enumerate(vec_z):
-            sz = prog.add(sz, prog.mul(bpows[i], v))
+            sz = prog.mac(sz, bpows[i], v)
         sgz = prog.const(0)
         vec_gz = [v for _l, v in ev["tn"]] + [v for _l, v in ev["pn"]]
         for i, v in enumerate(vec_gz):
-            sgz = prog.add(sgz, prog.mul(bpows[w_z + i], v))
+            sgz = prog.mac(sgz, bpows[w_z + i], v)
         ev_sums[cp.name] = (sz, sgz, w_z, w_gz)
 
     # --- per-query checks ---
@@ -809,11 +825,11 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
             num_z = prog.const(0)
             vec = trow + prow + qrow
             for i, v in enumerate(vec):
-                num_z = prog.add(num_z, prog.mul(bpows[i], v))
+                num_z = prog.mac(num_z, bpows[i], v)
             num_z = prog.sub(num_z, sz)
             num_gz = prog.const(0)
             for i, v in enumerate(trow + prow):
-                num_gz = prog.add(num_gz, prog.mul(bpows[w_z + i], v))
+                num_gz = prog.mac(num_gz, bpows[w_z + i], v)
             num_gz = prog.sub(num_gz, sgz)
             x = _domain_x(prog, jbits, log_N, s_i)
             r = prog.add(
@@ -847,9 +863,8 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
             x_j = _domain_x(prog, jbits, log_l, cur_shift)
             half_sum = prog.mul(prog.add(av, bv), pow(2, P - 2, P))
             diff = prog.mul(prog.sub(av, bv), pow(2, P - 2, P))
-            v = prog.add(half_sum,
-                         prog.mul(fold_betas[ell],
-                                  prog.div(diff, x_j)))
+            v = prog.mac(half_sum, fold_betas[ell],
+                         prog.div(diff, x_j))
             cur_shift = cur_shift * cur_shift % P
             cur_bits = jbits
         # v == fri_final[qq]: qq = remaining bits select among final vals
@@ -867,18 +882,18 @@ def _ext_mul_limbs_vm(prog: Prog, a: list[Val], b: list[Val]) -> list[Val]:
     quartic tower arithmetic, emitted as base ops)."""
     from ..ops.field_ref import W_EXT
 
-    prods = [[prog.mul(a[i], b[j]) for j in range(4)] for i in range(4)]
     acc = [None] * 7
     for i in range(4):
         for j in range(4):
-            t = prods[i][j]
-            acc[i + j] = t if acc[i + j] is None else prog.add(acc[i + j],
-                                                              t)
+            if acc[i + j] is None:
+                acc[i + j] = prog.mul(a[i], b[j])
+            else:
+                acc[i + j] = prog.mac(acc[i + j], a[i], b[j])
     out = []
     for k in range(4):
         v = acc[k]
         if k + 4 <= 6 and acc[k + 4] is not None:
-            v = prog.add(v, prog.mul(acc[k + 4], W_EXT))
+            v = prog.mac(v, W_EXT, acc[k + 4])
         out.append(v)
     return out
 
@@ -912,7 +927,7 @@ def _final_low_degree_vm(prog: Prog, vals: list[Val],
         acc = prog.const(0)
         wk = 1
         for i in range(size):
-            acc = prog.add(acc, prog.mul(vals[i], wk))
+            acc = prog.mac(acc, wk, vals[i])
             wk = wk * step % P
         prog.assert_zero(acc)
 

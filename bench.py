@@ -198,10 +198,16 @@ def main() -> None:
         log("kernel bench failed:", e)
 
     # ---- multi-transcript batches (BASELINE.json config 4), LAST and
-    # ascending: batch8's fully-materialized working set can exceed one
-    # chip's HBM and crash the TPU worker (it did in the r4 warm-up), and
-    # a dead worker kills the whole process — so every earlier metric is
-    # locked in first and each smaller batch lands before the next risk.
+    # ascending.  KNOWN r4 LIMITATION: batch-shape proving repeatably
+    # crashes the tunneled TPU worker (fused and legacy paths alike, at
+    # commit or quotient stages, with serialized per-chip sync and a
+    # ~2.5 GB resident floor that should fit HBM) — suspected axon-worker
+    # fault under batch-size compile/execute load rather than a true
+    # capacity limit; single-chip sub-proofs at the same heights succeed.
+    # A dead worker kills the process, so every earlier metric is locked
+    # in first, each attempt is last-in-line, and the fatal handler still
+    # emits the JSON.  Scale-out across devices (prove_machine
+    # devices=/mesh=) is the designed path for large batches.
     for bsz in (2, 4, 8):
         try:
             t0 = time.time()

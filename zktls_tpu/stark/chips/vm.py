@@ -27,6 +27,8 @@ Values are quartic-extension elements (4 base limbs).  Ops:
   HABS    absorb a (base-only) into sponge (sid=ib, seq=ic, lane=imm0)
   HOUT    out = sponge output lane (base; high limbs zeroed)
   AZERO   assert a = 0
+  WIT     out = free witness (proof data; pinned by later hash/eq checks)
+  MAC     out = a + b_eff·c  (fused multiply-add, still degree 3)
 """
 
 from __future__ import annotations

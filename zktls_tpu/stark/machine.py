@@ -290,6 +290,17 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
 
         lde_sharded = make_coset_lde_sharded(mesh, ntt_axis)
 
+    # HBM guard: above ~2.5 GB of committed extensions, serialize the
+    # per-chip device work — concurrent NTT/tree temporaries for every
+    # chip at once crashed the worker on multi-transcript batches
+    total_lde_bytes = sum(
+        (1 << (log_n + config.log_blowup)) * (inst.air.width
+                                              + inst.air.perm_width
+                                              + 4 * config.blowup) * 4
+        for inst, log_n in metas)
+    serial_commit = total_lde_bytes > float(
+        os.environ.get("ZKTLS_SERIAL_COMMIT_BYTES", "2.5e9"))
+
     per = {}
     for idx, (inst, log_n) in enumerate(metas):
         name = inst.air.name
@@ -317,11 +328,15 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             "inst": inst, "log_n": log_n, "s": s_i, "trace_m": trace_m,
             "lde": lde, "trace_tree": tree, "dev_idx": idx,
         }
+        if serial_commit:
+            # finish this chip (and free its temporaries) before the next
+            root = [int(x) for x in tree.root]
+            per[name]["trace_root"] = root
     for inst, log_n in metas:
         d = per[inst.air.name]
-        root = [int(x) for x in d["trace_tree"].root]
-        d["trace_root"] = root
-        ch.observe_many(root)
+        if "trace_root" not in d:
+            d["trace_root"] = [int(x) for x in d["trace_tree"].root]
+        ch.observe_many(d["trace_root"])
     _mark("lde_commit")
 
     # 2. machine challenges + perm commits + bus sums --------------------
@@ -339,6 +354,8 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             perm_m = bb.to_mont(_place(jnp.asarray(perm_np), d["dev_idx"]))
             perm_lde = coset_lde(perm_m, config.log_blowup, d["s"])
             perm_tree = MerkleTree(perm_lde)
+            if serial_commit:
+                perm_tree.root
             if getattr(air, "has_bus", False):
                 # the accumulator is the LAST extension element of the perm
                 # trace; its final row is the chip's cumulative bus sum
@@ -431,6 +448,8 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             [coeffs_to_coset_evals(c, config.log_blowup, s_i)
              for c in chunks], axis=1)
         q_tree = MerkleTree(q_cols)
+        if serial_commit:
+            q_tree.root
         d.update(q_cols=q_cols, q_chunks=chunks, q_tree=q_tree)
     for inst, log_n in metas:
         d = per[inst.air.name]

@@ -68,7 +68,8 @@ def test_merkle_tree_and_openings():
     rows = RNG.integers(0, P, (64, 10), dtype=np.uint32)
     tree = MerkleTree(bb.to_mont(rows))
     root = [int(x) for x in tree.root]
-    assert len(tree.levels) == 7  # 64 leaves -> root
+    # device levels are freed once host copies exist (HBM)
+    assert len(tree.levels_np) == 7  # 64 leaves -> root
     for idx in (0, 1, 31, 63):
         path = tree.open(idx)
         leaf = hash_row_ints([int(x) for x in rows[idx]])

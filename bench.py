@@ -95,7 +95,19 @@ def main() -> None:
     except Exception:
         pass
 
-    dev = jax.devices()[0]
+    # the axon worker takes minutes to come back after a crash (e.g. a
+    # previous bench's batch attempt); retry initialization rather than
+    # dying with no numbers
+    dev = None
+    for attempt in range(5):
+        try:
+            dev = jax.devices()[0]
+            break
+        except Exception as e:
+            log(f"device init attempt {attempt + 1} failed: {e}")
+            time.sleep(60)
+    if dev is None:
+        dev = jax.devices()[0]   # final attempt, surface the error
     RESULT["device"] = str(dev)
     log("device:", dev)
 

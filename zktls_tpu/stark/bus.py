@@ -29,7 +29,8 @@ from ..ops.field_ref import Fp4, P
 __all__ = [
     "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_SHA512_STATE",
     "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_SP16_CHAIN",
-    "BUS_SP24_CHAIN", "BUS_HASH_ABS", "BUS_HASH_OUT", "BUS_VM_VAL",
+    "BUS_SP24_CHAIN", "BUS_HASH_ABS", "BUS_HASH_OUT", "BUS_HASH_ABS24",
+    "BUS_HASH_OUT24", "BUS_VM_VAL",
     "BUS_VM_INSTR", "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
@@ -132,11 +133,19 @@ BUS_CHACHA_BLOCK = 0x118
 #: (sid, seq, state w×field) between consecutive duplexes of an instance.
 BUS_SP16_CHAIN = 0x119
 BUS_SP24_CHAIN = 0x11A
-#: (sid, seq, lane, value) — a value absorbed into a sponge lane,
-#: VM chip → sponge chip.
+#: (sid, seq, lane, value, am) — a value absorbed into a sponge lane,
+#: VM chip → sponge chip.  `am` pins the absorb mode (0 = overwrite
+#: duplex, 1 = additive leaf sponge) so the mode is program-controlled,
+#: not a free prover bit.  The tag is WIDTH-SPECIFIC (…ABS = Sponge16,
+#: …ABS24 = Sponge24): each sponge chip enforces (sid, seq) uniqueness
+#: only within its own trace, so the namespaces must be disjoint or a
+#: width-24 row could soak up a width-16 absorb.
 BUS_HASH_ABS = 0x11B
 #: (sid, seq, lane, value) — a sponge output lane, sponge chip → VM.
+#: Width-split like the absorb tag.
 BUS_HASH_OUT = 0x11C
+BUS_HASH_ABS24 = 0x11F
+BUS_HASH_OUT24 = 0x120
 #: (idx, v0..v3) — VM dataflow: SSA value idx (4 ext limbs), produced
 #: once (multiplicity = consumer count), received per use.
 BUS_VM_VAL = 0x11D
@@ -221,18 +230,22 @@ def digest_limbs(digest32: bytes) -> list[int]:
     return out
 
 
-def np_bus_inverse_terms(challenges: list[Fp4], tag: int,
+def np_bus_inverse_terms(challenges: list[Fp4], tag,
                          payload_cols: np.ndarray) -> np.ndarray:
     """Vectorized witness helper: for payload rows (n, k) of plain ints,
     return (n, 4) uint64 values of 1/(γ − fp(tag, row)).  Used by chips'
-    generate_perm_trace."""
+    generate_perm_trace.  `tag` may be a per-row uint64 array (the VM's
+    width-selected hash-bus tags)."""
     from .lookup import np_ext_inverse
 
     n, k = payload_cols.shape
     acc = np.zeros((n, 4), dtype=np.uint64)
     g = np.array(challenges[0].c, dtype=np.uint64)
     acc[:] = g[None, :]
-    acc[:, 0] = (acc[:, 0] + P - tag % P) % P
+    if isinstance(tag, np.ndarray):
+        acc[:, 0] = (acc[:, 0] + P - tag.astype(np.uint64) % P) % P
+    else:
+        acc[:, 0] = (acc[:, 0] + P - tag % P) % P
     for i in range(k):
         d = np.array(challenges[1 + i].c, dtype=np.uint64)
         contrib = (d[None, :] * (payload_cols[:, i].astype(np.uint64)

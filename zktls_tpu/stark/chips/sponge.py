@@ -34,7 +34,9 @@ from ...ops.poseidon2 import get_params
 from ..air import Air, AirBuilder
 from ..bus import (
     BUS_HASH_ABS,
+    BUS_HASH_ABS24,
     BUS_HASH_OUT,
+    BUS_HASH_OUT24,
     BUS_SP16_CHAIN,
     BUS_SP24_CHAIN,
     np_bus_inverse_terms,
@@ -131,6 +133,12 @@ class SpongeAir(Air):
         self.L = _build_layout(w, p.rf, p.rp)
         self.width = self.L.width
         self.chain_tag = BUS_SP16_CHAIN if w == 16 else BUS_SP24_CHAIN
+        # width-specific hash-bus tags: each chip enforces (sid, seq)
+        # uniqueness only within its own trace, so the two widths must
+        # live in disjoint bus namespaces (a shared tag would let a
+        # width-24 row serve a width-16 absorb/output)
+        self.abs_tag = BUS_HASH_ABS if w == 16 else BUS_HASH_ABS24
+        self.out_tag = BUS_HASH_OUT if w == 16 else BUS_HASH_OUT24
         #: chain recv ‖ chain send ‖ w absorb recvs ‖ 8 out sends ‖ u ‖ acc
         self.perm_width = 4 * (2 + w + N_OUT + 2)
         self.name = f"Sponge{w}Air"
@@ -153,10 +161,33 @@ class SpongeAir(Air):
         b.assert_bool(live)
         b.assert_bool(fresh)
         b.assert_bool(am)
+        # nc boolean: a chain message is sent AT MOST ONCE — nc = 2 would
+        # fork a chain into two branches (one absorbing, one not),
+        # detaching Fiat-Shamir challenges from the absorbed commitments
+        b.assert_bool(col("nc"))
         b.assert_zero_vec(F * (F - 1), w)
         b.assert_zero(fresh * (1 - live))
+        # fresh ⇒ seq = 0: only a chain START may skip the chain receive;
+        # a mid-chain "fresh" row could soak up absorbs into a zero state
+        b.assert_zero(fresh * col("seq"))
         # fresh rows start from the zero state
         b.assert_zero_vec(SP * fresh, w)
+        # (sid, seq) uniqueness discipline — without it a prover could run
+        # a PARALLEL chain with the same sid, partition the program's
+        # absorbs between the branches and pick which branch serves each
+        # challenge.  Trace order: live rows form a prefix; sid is
+        # non-decreasing, stepping by exactly 1 at chain boundaries; seq
+        # increments by 1 within a chain.  Dead rows continue the pattern
+        # (sid held, seq incrementing) so no live-gating is needed and
+        # every constraint stays within the degree budget.
+        sid, seq = col("sid"), col("seq")
+        sid_n = b.next[L["sid"].start]
+        seq_n = b.next[L["seq"].start]
+        live_n = b.next[L["live"].start]
+        b.when_transition((1 - live) * live_n)
+        d_sid = sid_n - sid
+        b.when_transition(d_sid * (d_sid - 1))
+        b.when_transition((d_sid - 1) * (seq_n - seq - 1))
 
         # s_in = f·(a + am·sp) + (1−f)·sp  (committed: keeps round-1 at
         # degree 3; am = 1 adds into the state, am = 0 overwrites)
@@ -228,13 +259,14 @@ class SpongeAir(Air):
         u_def = (iv_cs * (col("nc") * live)
                  - iv_cr * (live * (1 - fresh)))
         for i in range(w):
-            fp_abs = (ExtVal.from_base(BUS_HASH_ABS) + dpow(0) * sid
-                      + dpow(1) * seq + dpow(2) * i + dpow(3) * A[i])
+            fp_abs = (ExtVal.from_base(self.abs_tag) + dpow(0) * sid
+                      + dpow(1) * seq + dpow(2) * i + dpow(3) * A[i]
+                      + dpow(4) * am)
             iv = b.perm_ext(2 + i)
             b.assert_ext_zero(iv * (gamma - fp_abs) - 1)
             u_def = u_def - iv * (F[i] * live)
         for k in range(N_OUT):
-            fp_out = (ExtVal.from_base(BUS_HASH_OUT) + dpow(0) * sid
+            fp_out = (ExtVal.from_base(self.out_tag) + dpow(0) * sid
                       + dpow(1) * seq + dpow(2) * k
                       + dpow(3) * s_out[k])
             iv = b.perm_ext(2 + w + k)
@@ -308,6 +340,7 @@ class SpongeAir(Air):
 
         sid, seq = col1("sid"), col1("seq")
         live, fresh, nc = col1("live"), col1("fresh"), col1("nc")
+        am = col1("am")
         sp, a, f = cols("sp"), cols("a"), cols("f")
         s_out = self._final_state_cols(main)
         crecv = np_bus_inverse_terms(
@@ -323,8 +356,8 @@ class SpongeAir(Air):
                     * (live * (1 - fresh))[:, None]) % P) % P
         for i in range(w):
             pl = np.stack([sid, seq, np.full(n, i, dtype=np.uint64),
-                           a[:, i]], axis=1)
-            iv = np_bus_inverse_terms(challenges, BUS_HASH_ABS, pl)
+                           a[:, i], am], axis=1)
+            iv = np_bus_inverse_terms(challenges, self.abs_tag, pl)
             parts.append(iv)
             u = (u + P - (iv.astype(np.uint64)
                           * (f[:, i] * live)[:, None]) % P) % P
@@ -332,7 +365,7 @@ class SpongeAir(Air):
         for k in range(N_OUT):
             pl = np.stack([sid, seq, np.full(n, k, dtype=np.uint64),
                            s_out[:, k]], axis=1)
-            iv = np_bus_inverse_terms(challenges, BUS_HASH_OUT, pl)
+            iv = np_bus_inverse_terms(challenges, self.out_tag, pl)
             parts.append(iv)
             u = (u + (iv.astype(np.uint64)
                       * (mm[:, k] * live)[:, None])) % P
@@ -388,9 +421,11 @@ class SpongeRow:
 
 def sponge_trace(air: SpongeAir, rows: list[SpongeRow],
                  min_log_n: int = 4):
-    """Build the chip trace.  Rows must be grouped per sid in seq order
-    (the chain bus enforces continuity).  Returns (trace, [], states)
-    where states[i] is row i's output state (for building VM receives).
+    """Build the chip trace.  Rows must follow the chip's chain
+    discipline (enforced in-circuit): sids dense and increasing by 1 at
+    chain boundaries, seq incrementing within a chain, each sid in one
+    contiguous run.  Returns (trace, [], states) where states[i] is row
+    i's output state (for building VM receives).
 
     Pass 1 walks the chains with the fast host Poseidon2 (native C) to
     resolve every row's incoming state; pass 2 recomputes all round
@@ -407,6 +442,23 @@ def sponge_trace(air: SpongeAir, rows: list[SpongeRow],
     cur_state: dict[int, list[int]] = {}
     s_in_all = np.zeros((n, w), dtype=np.uint64)
     states: list[list[int]] = []
+    # host-side discipline check: fail loudly at build time rather than
+    # producing a trace the chip constraints reject
+    prev_sid = None
+    prev_seq = None
+    for row in rows:
+        if prev_sid is None:
+            pass
+        elif row.sid == prev_sid:
+            if row.seq != prev_seq + 1:
+                raise ValueError(
+                    f"sponge chain discipline: sid {row.sid} seq "
+                    f"{row.seq} after seq {prev_seq}")
+        elif row.sid != prev_sid + 1:
+            raise ValueError(
+                f"sponge chain discipline: sid {row.sid} after "
+                f"sid {prev_sid} (must be dense, increasing)")
+        prev_sid, prev_seq = row.sid, row.seq
     for i, row in enumerate(rows):
         trace[i, L["live"].start] = 1
         trace[i, L["sid"].start] = row.sid % P
@@ -434,6 +486,16 @@ def sponge_trace(air: SpongeAir, rows: list[SpongeRow],
         out = perm.permute_ints(s_in)
         cur_state[row.sid] = out
         states.append(out)
+    # dead rows continue the (sid, seq) pattern — the uniqueness
+    # transition constraints are not live-gated (degree budget), so the
+    # padding must satisfy sid-held / seq+1 itself
+    m = len(rows)
+    if m < n:
+        last_sid = rows[-1].sid % P if rows else 0
+        last_seq = rows[-1].seq if rows else -1
+        trace[m:, L["sid"].start] = last_sid
+        trace[m:, L["seq"].start] = (
+            last_seq + 1 + np.arange(n - m, dtype=np.int64)) % P
     trace[:, L["sin"]] = s_in_all.astype(np.uint32)
     snaps, final = air._permute_rows(s_in_all)
     half = air.rf // 2

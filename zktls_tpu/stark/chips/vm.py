@@ -39,7 +39,9 @@ from ...ops.field_ref import P
 from ..air import Air, AirBuilder
 from ..bus import (
     BUS_HASH_ABS,
+    BUS_HASH_ABS24,
     BUS_HASH_OUT,
+    BUS_HASH_OUT24,
     BUS_VM_INSTR,
     BUS_VM_VAL,
     np_bus_inverse_terms,
@@ -156,6 +158,21 @@ class VmAir(Air):
         live = col("live")
         b.assert_bool(live)
         s = [col("s", i) for i in range(len(OPS))]
+        # opcode flags: each boolean, and Σ s_i == live — so a live row
+        # has EXACTLY one opcode (op_id = Σ i·s_i is then injective) and a
+        # dead row has none.  Without this, a live row with all flags zero
+        # (or a doubled flag) would leave its output/assertion
+        # unconstrained while still matching a pinned instruction.
+        s_sum = None
+        for flag in s:
+            b.assert_bool(flag)
+            s_sum = flag if s_sum is None else s_sum + flag
+        b.assert_zero(s_sum - live)
+        # dead rows must not touch the bus: every prover-free multiplicity
+        # and receive flag vanishes when live = 0 (the instruction-message
+        # receive that pins these fields is itself gated by live)
+        for nm in ("m1", "m2", "ra", "rb", "rc2"):
+            b.assert_zero((1 - live) * col(nm))
         A = [col("a", i) for i in range(4)]
         B_ = [col("b", i) for i in range(4)]
         C = [col("c", i) for i in range(4)]
@@ -238,10 +255,18 @@ class VmAir(Air):
         fp_c = fp_val(col("ic"), C)
         fp_o1 = fp_val(col("io1"), O1)
         fp_o2 = fp_val(col("io2"), O2)
-        fp_habs = (ExtVal.from_base(BUS_HASH_ABS) + dpow(0) * col("ib")
+        # hash-bus fingerprints: (sid=ib, seq=ic, lane=imm0, value, am=imm1)
+        # with the WIDTH-SPECIFIC tag selected by imm2 (0 → Sponge16 tags,
+        # 1 → Sponge24 tags) — all three extra fields are instruction
+        # fields, so the verifier-pinned program controls mode and width.
+        fp_habs = (ExtVal.from_base(BUS_HASH_ABS)
+                   + (BUS_HASH_ABS24 - BUS_HASH_ABS) * IMM[2]
+                   + dpow(0) * col("ib")
                    + dpow(1) * col("ic") + dpow(2) * IMM[0]
-                   + dpow(3) * A[0])
-        fp_hout = (ExtVal.from_base(BUS_HASH_OUT) + dpow(0) * col("ib")
+                   + dpow(3) * A[0] + dpow(4) * IMM[1])
+        fp_hout = (ExtVal.from_base(BUS_HASH_OUT)
+                   + (BUS_HASH_OUT24 - BUS_HASH_OUT) * IMM[2]
+                   + dpow(0) * col("ib")
                    + dpow(1) * col("ic") + dpow(2) * IMM[0]
                    + dpow(3) * O1[0])
         names = ["instr", "a", "b", "c", "o1", "o2", "habs", "hout"]
@@ -310,11 +335,15 @@ class VmAir(Air):
         iv_c = val_iv(ic, c)
         iv_o1 = val_iv(io1, o1)
         iv_o2 = val_iv(io2, o2)
+        tag_abs = (BUS_HASH_ABS
+                   + (BUS_HASH_ABS24 - BUS_HASH_ABS) * imm[:, 2])
+        tag_out = (BUS_HASH_OUT
+                   + (BUS_HASH_OUT24 - BUS_HASH_OUT) * imm[:, 2])
         iv_habs = np_bus_inverse_terms(
-            challenges, BUS_HASH_ABS, np.stack(
-                [ib, ic, imm[:, 0], a[:, 0]], axis=1))
+            challenges, tag_abs, np.stack(
+                [ib, ic, imm[:, 0], a[:, 0], imm[:, 1]], axis=1))
         iv_hout = np_bus_inverse_terms(
-            challenges, BUS_HASH_OUT, np.stack(
+            challenges, tag_out, np.stack(
                 [ib, ic, imm[:, 0], o1[:, 0]], axis=1))
         s_habs = s[:, OP_IDX["habs"]]
         s_hout = s[:, OP_IDX["hout"]]

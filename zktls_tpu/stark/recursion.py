@@ -304,11 +304,18 @@ class Prog:
     def bits31(self, a: Val) -> list[Val]:
         bs, rem = self.bits(a, 31)
         self.assert_zero(rem)
-        # canonicity: value < p = 2^31 − 2^27 + 1 ⇔ bits 27..30 not all 1
+        # canonicity: value ≤ p − 1 = 2^31 − 2^27.  Non-canonical values
+        # are exactly those with bits 27..30 all 1 AND some low bit set
+        # (p − 1 itself is 1111·2^27 with zero low bits, and must be
+        # accepted — an honest Fiat-Shamir sample hits it with
+        # probability 2^-31 per decomposition).
         t = self.mul(bs[30], bs[29])
         t = self.mul(t, bs[28])
         t = self.mul(t, bs[27])
-        self.assert_zero(t)
+        low = bs[0]
+        for i in range(1, 27):
+            low = self.add(low, bs[i])
+        self.assert_zero(self.mul(t, low))
         return bs
 
     def combine4(self, limbs: list[Val]) -> Val:
@@ -328,12 +335,15 @@ class Prog:
                    absorbs: dict[int, Val], additive: bool = False,
                    has_next: bool = True, fresh_state=None) -> None:
         """One duplex: emits HABS per absorbed lane and records the chip
-        row; the host permutation tracks the chain state."""
+        row; the host permutation tracks the chain state.  imm carries
+        (lane, absorb-mode, width-flag) so the program — not the prover —
+        pins the sponge's mode and width (chips/vm.py fp_habs)."""
+        wflag = 1 if w == 24 else 0
         for lane, v in absorbs.items():
             if self.strict and tuple(self.vals[v.idx].c[1:]) != (0, 0, 0):
                 raise VerificationError("absorbing a non-base value")
             self._emit(op="habs", ia=self._use(v), ib=sid, ic=seq,
-                       imm=(lane, 0, 0, 0), ra=1)
+                       imm=(lane, 1 if additive else 0, wflag, 0), ra=1)
         if seq == 0:
             prev = [0] * w
         elif fresh_state is not None:
@@ -354,17 +364,19 @@ class Prog:
 
     def sponge_out(self, w: int, sid: int, seq: int, lane: int) -> Val:
         out = self._new(Fp4(self.sp_states[(sid, seq)][lane]))
-        self._emit(op="hout", ib=sid, ic=seq, imm=(lane, 0, 0, 0),
-                   io1=out.idx)
-        key = (sid, seq, lane)
+        self._emit(op="hout", ib=sid, ic=seq,
+                   imm=(lane, 0, 1 if w == 24 else 0, 0), io1=out.idx)
+        key = (w, sid, seq, lane)
         self.sp_out_mults[key] = self.sp_out_mults.get(key, 0) + 1
         return out
 
     # -- finalization --------------------------------------------------------
 
     def finalize(self):
-        """Patch producer multiplicities and sponge output multiplicities;
-        mark last rows of sponge chains."""
+        """Renumber sponge sids to each chip's dense trace-order
+        numbering, then patch producer multiplicities and sponge output
+        multiplicities; mark last rows of sponge chains."""
+        self._renumber_sids()
         produced: dict[int, int] = {}
         for i, ins in enumerate(self.instrs):
             if ins.op in ("const", "add", "sub", "mul", "sel", "hout",
@@ -381,11 +393,35 @@ class Prog:
             present = {(r.sid, r.seq) for r in rows}
             for row in rows:
                 row.out_mults = {
-                    lane: self.sp_out_mults[(row.sid, row.seq, lane)]
+                    lane: self.sp_out_mults[(w, row.sid, row.seq, lane)]
                     for lane in range(8)
-                    if (row.sid, row.seq, lane) in self.sp_out_mults}
+                    if (w, row.sid, row.seq, lane) in self.sp_out_mults}
                 row.has_next = (row.sid, row.seq + 1) in present
         return self
+
+    def _renumber_sids(self) -> None:
+        """The sponge chips enforce (sid, seq) uniqueness with a dense
+        stride-1 sid discipline per chip (chips/sponge.py).  Globally
+        allocated sids have per-width gaps, so remap each width's sids to
+        1, 2, … in first-appearance (= trace) order and rewrite every
+        reference: sponge rows, habs/hout instruction ib fields (width
+        identified by imm2), and the verifier chain-seed messages."""
+        maps = {16: {}, 24: {}}
+        for w in (16, 24):
+            m = maps[w]
+            for row, _pos in self.sp_rows[w]:
+                if row.sid not in m:
+                    m[row.sid] = len(m) + 1
+            for row, _pos in self.sp_rows[w]:
+                row.sid = m[row.sid]
+        for ins in self.instrs:
+            if ins.op in ("habs", "hout"):
+                ins.ib = maps[24 if ins.imm[2] else 16][ins.ib]
+        self.chain_seeds = [(maps[16][sid], seq, state)
+                            for sid, seq, state in self.chain_seeds]
+        self.sp_out_mults = {
+            (w, maps[w][sid], seq, lane): v
+            for (w, sid, seq, lane), v in self.sp_out_mults.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -1007,8 +1043,8 @@ def _outer_chips(prog: Prog):
     chips = [ChipInstance(air=VmAir(), trace=vtrace, publics=[])]
     for w, air in ((16, Sponge16Air()), (24, Sponge24Air())):
         rows = [r for r, _pos in prog.sp_rows[w]]
-        if not rows:
-            rows = [SpongeRow(10 ** 6, 0, {}, {}, False)]
+        # an unused width proves an all-dead trace (live = 0 everywhere;
+        # the dead-row padding satisfies the chain discipline on its own)
         trace, _, _states = sponge_trace(air, rows)
         chips.append(ChipInstance(air=air, trace=trace, publics=[]))
     return chips

@@ -162,6 +162,12 @@ class AirBuilder:
     perm_local: Sequence[Any] = ()
     perm_next: Sequence[Any] = ()
     challenges: Sequence[Any] = ()
+    #: preprocessed (fixed) columns: committed once at setup, root carried
+    #: in the verifying key rather than the proof — the machine equivalent
+    #: of Plonky3 preprocessed traces.  The recursion VM keeps its PROGRAM
+    #: here, making outer verification O(queries), not O(program).
+    pre_local: Sequence[Any] = ()
+    pre_next: Sequence[Any] = ()
     constraint_count: int = 0
     #: vector-API hooks, injected per backend (None = scalar fallback)
     _fold_vec: Callable[[Any], None] | None = None
@@ -198,6 +204,10 @@ class AirBuilder:
 
     def next_group(self, sl: slice):
         return self._group(self.next, sl)
+
+    def pre_group(self, sl: slice, nxt: bool = False):
+        """Preprocessed columns sl as one group value."""
+        return self._group(self.pre_next if nxt else self.pre_local, sl)
 
     def const_vec(self, values: Sequence[int]):
         """A constant row-vector group (e.g. masks, powers of two)."""
@@ -262,6 +272,10 @@ class Air:
 
     width: int = 0
     num_public: int = 0
+    #: fixed-column count: a chip with preprocessed_width > 0 is
+    #: instantiated with a setup-time matrix whose Merkle root lives in
+    #: the verifying key (machine.py prove/verify take it separately)
+    preprocessed_width: int = 0
     #: max total degree of any asserted expression in the trace values
     #: (selector multipliers included).  Bounds the quotient degree; the
     #: prover checks it fits the configured blowup.
@@ -307,6 +321,8 @@ class Air:
                                 perm_local: Sequence[Fp4] = (),
                                 perm_next: Sequence[Fp4] = (),
                                 challenges: Sequence = (),
+                                pre_local: Sequence[Fp4] = (),
+                                pre_next: Sequence[Fp4] = (),
                                 ) -> Fp4:
         """Verifier-side: same fold at the out-of-domain point ζ."""
         from .ext_val import ExtVal
@@ -332,6 +348,8 @@ class Air:
             perm_local=list(perm_local),
             perm_next=list(perm_next),
             challenges=[ExtVal.from_fp4(c) for c in challenges],
+            pre_local=list(pre_local),
+            pre_next=list(pre_next),
             **scalar_vec_hooks(fold, lambda v: Fp4(v)),
         )
         self.eval(builder)

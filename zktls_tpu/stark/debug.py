@@ -51,7 +51,8 @@ class _Row:
 
 def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
                 max_failures: int = 20, perm_trace: np.ndarray | None = None,
-                challenges=()) -> list[tuple[int, int]]:
+                challenges=(), preprocessed: np.ndarray | None = None,
+                ) -> list[tuple[int, int]]:
     """Returns [(row, constraint_index)] for every violated constraint
     (transition rows exclude the wrap; first/last-row constraints evaluated
     only where their selector is live).  Empty list = trace satisfies AIR.
@@ -63,6 +64,9 @@ def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
     failures: list[tuple[int, int]] = []
     if perm_trace is None:
         perm_trace = np.zeros((n, air.perm_width), dtype=np.uint32)
+    if preprocessed is None:
+        preprocessed = np.zeros(
+            (n, getattr(air, "preprocessed_width", 0)), dtype=np.uint32)
     chal_vals = [ExtVal.from_fp4(c) for c in challenges]
 
     for row in range(n):
@@ -90,6 +94,8 @@ def check_trace(air: Air, trace: np.ndarray, public_values: list[int],
             periodic=[_Row(int(p[row % len(p)])) for p in periodic],
             perm_local=[_Row(int(v)) for v in perm_trace[row]],
             perm_next=[_Row(int(v)) for v in perm_trace[nxt]],
+            pre_local=[_Row(int(v)) for v in preprocessed[row]],
+            pre_next=[_Row(int(v)) for v in preprocessed[nxt]],
             challenges=chal_vals,
             **scalar_vec_hooks(fold, lambda v: _Row(v)),
         )

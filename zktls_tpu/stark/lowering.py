@@ -42,7 +42,7 @@ from ..ops.field_ref import P, W_EXT, Fp4
 __all__ = ["lower_air", "eval_quotient_vm", "Plan"]
 
 # leaf matrix kinds (U-region sources)
-ONE, LOCAL, NEXT, PERM, PERMNEXT, SEL, PERIODIC = range(7)
+ONE, LOCAL, NEXT, PERM, PERMNEXT, SEL, PERIODIC, PRE, PRENEXT = range(9)
 # SEL columns: 0=is_first_row, 1=is_last_row, 2=is_transition
 
 _ADD, _SUB, _MUL, _NEG = "add", "sub", "mul", "neg"
@@ -252,6 +252,8 @@ class Plan:
     permnext_idx: np.ndarray
     sel_idx: np.ndarray       # subset of {0,1,2}
     periodic_idx: np.ndarray
+    pre_idx: np.ndarray
+    prenext_idx: np.ndarray
     has_one: bool
     w_u: int
     n_slots: int
@@ -285,6 +287,9 @@ def _trace_air(air, n_public: int, n_challenges: int):
     perm_next = [Sym(ctx, ctx.leaf(PERMNEXT, j))
                  for j in range(air.perm_width)]
     periodic = [Sym(ctx, ctx.leaf(PERIODIC, i)) for i in range(n_periodic)]
+    pre_w = getattr(air, "preprocessed_width", 0)
+    pre_local = [Sym(ctx, ctx.leaf(PRE, j)) for j in range(pre_w)]
+    pre_next = [Sym(ctx, ctx.leaf(PRENEXT, j)) for j in range(pre_w)]
 
     folds: list[int] = []
 
@@ -323,6 +328,8 @@ def _trace_air(air, n_public: int, n_challenges: int):
         perm_local=perm_local,
         perm_next=perm_next,
         challenges=chals,
+        pre_local=pre_local,
+        pre_next=pre_next,
         _fold_vec=fold_vec, _group=group, _const_vec=const_vec,
         _dot_const=dot_const, _mat_const=mat_const,
     )
@@ -398,6 +405,8 @@ def _build_plan(ctx: LoweringCtx, folds: list[int]) -> Plan:
     permnext_idx = np.array(kind_cols(PERMNEXT), dtype=np.int32)
     sel_idx = np.array(kind_cols(SEL), dtype=np.int32)
     periodic_idx = np.array(kind_cols(PERIODIC), dtype=np.int32)
+    pre_idx = np.array(kind_cols(PRE), dtype=np.int32)
+    prenext_idx = np.array(kind_cols(PRENEXT), dtype=np.int32)
 
     u_pos: dict[tuple, int] = {}
     pos = 0
@@ -406,7 +415,8 @@ def _build_plan(ctx: LoweringCtx, folds: list[int]) -> Plan:
         pos += 1
     for kind, idx in ((LOCAL, local_idx), (NEXT, next_idx),
                       (PERM, perm_idx), (PERMNEXT, permnext_idx),
-                      (SEL, sel_idx), (PERIODIC, periodic_idx)):
+                      (SEL, sel_idx), (PERIODIC, periodic_idx),
+                      (PRE, pre_idx), (PRENEXT, prenext_idx)):
         for c in idx:
             u_pos[(kind, int(c))] = pos
             pos += 1
@@ -577,7 +587,8 @@ def _build_plan(ctx: LoweringCtx, folds: list[int]) -> Plan:
     return Plan(
         local_idx=local_idx, next_idx=next_idx, perm_idx=perm_idx,
         permnext_idx=permnext_idx, sel_idx=sel_idx,
-        periodic_idx=periodic_idx, has_one=has_one, w_u=w_u,
+        periodic_idx=periodic_idx, pre_idx=pre_idx,
+        prenext_idx=prenext_idx, has_one=has_one, w_u=w_u,
         n_slots=n_slots, batches=batches, scalar_prog=scalar_prog,
         scalar_slot=scalar_slot, n_scalars=len(scalar_prog),
         n_constraints=len(folds), const_folds=const_folds,
@@ -649,7 +660,7 @@ def _block_fn(plan_key: tuple, B: int):
 
     @jax.jit
     def f(lde_blk, next_blk, perm_blk, permnext_blk, sels_blk,
-          periodic_blk, s_mont, apow_plain, acc0):
+          periodic_blk, pre_blk, prenext_blk, s_mont, apow_plain, acc0):
         parts = []
         if plan.has_one:
             parts.append(jnp.full((B, 1), ONE_MONT, dtype=jnp.uint32))
@@ -665,6 +676,10 @@ def _block_fn(plan_key: tuple, B: int):
             parts.append(sels_blk[:, plan.sel_idx])
         if plan.periodic_idx.size:
             parts.append(periodic_blk[:, plan.periodic_idx])
+        if plan.pre_idx.size:
+            parts.append(pre_blk[:, plan.pre_idx])
+        if plan.prenext_idx.size:
+            parts.append(prenext_blk[:, plan.prenext_idx])
         if plan.n_slots:
             parts.append(jnp.zeros((B, plan.n_slots), dtype=jnp.uint32))
         regs = (jnp.concatenate(parts, axis=1) if len(parts) > 1
@@ -705,7 +720,7 @@ def _block_fn(plan_key: tuple, B: int):
 
 def eval_quotient_vm(air, lde, perm_lde, challenges, publics_full,
                      apow_plain: np.ndarray, sels_m: dict, inv_zh_m,
-                     periodic_stack, log_blowup: int):
+                     periodic_stack, log_blowup: int, pre_lde=None):
     """Drop-in replacement for `_quotient_fn(...)(...)`: evaluate all
     constraints over the commit domain via the constraint VM, fold with
     α powers, divide by Z_H.  Returns (N, 4) Montgomery quotient values.
@@ -743,6 +758,12 @@ def eval_quotient_vm(air, lde, perm_lde, challenges, publics_full,
         next_perm = jnp.roll(perm_lde, -(1 << log_blowup), axis=0)
     else:
         next_perm = perm_lde
+    if pre_lde is None:
+        pre_lde = jnp.zeros((N, 0), jnp.uint32)
+    if pre_lde.shape[1]:
+        next_pre = jnp.roll(pre_lde, -(1 << log_blowup), axis=0)
+    else:
+        next_pre = pre_lde
     sels_blk_full = jnp.stack(
         [sels_m["is_first_row"], sels_m["is_last_row"],
          sels_m["is_transition"]], axis=1)                   # (N, 3)
@@ -763,6 +784,7 @@ def eval_quotient_vm(air, lde, perm_lde, challenges, publics_full,
             lde[r0 : r0 + B], next_lde[r0 : r0 + B],
             perm_lde[r0 : r0 + B], next_perm[r0 : r0 + B],
             sels_blk_full[r0 : r0 + B], periodic_full[r0 : r0 + B],
+            pre_lde[r0 : r0 + B], next_pre[r0 : r0 + B],
             s_mont, apow_j, acc0_m))
     acc = jnp.concatenate(accs, axis=0) if len(accs) > 1 else accs[0]
     return ex.ext_scale(acc, inv_zh_m)

@@ -58,7 +58,8 @@ from .verifier import VerificationError, _eval_periodic, _final_low_degree
 
 __all__ = [
     "ChipInstance", "ChipProof", "ChipOpening", "MachineQuery",
-    "MachineProof", "prove_machine", "verify_machine", "MACHINE_DOMAIN_TAG",
+    "MachineProof", "prove_machine", "verify_machine", "preprocessed_root",
+    "MACHINE_DOMAIN_TAG",
 ]
 
 MACHINE_DOMAIN_TAG = b"zktls-tpu-machine-v2"
@@ -73,6 +74,10 @@ class ChipInstance:
     air: Air
     trace: np.ndarray        # (n, air.width) plain uint32
     publics: list[int]       # main public values (bus sum appended later)
+    #: fixed columns (n, air.preprocessed_width) for preprocessed chips —
+    #: a deterministic function of the statement, NOT prover-chosen; its
+    #: commitment root belongs in the verifying key
+    preprocessed: np.ndarray | None = None
 
 
 @dataclass
@@ -89,6 +94,10 @@ class ChipProof:
     pl: list[Fp4]
     pn: list[Fp4]
     qe: list[Fp4]
+    #: preprocessed-column openings at ζ / g·ζ (empty unless the chip has
+    #: preprocessed columns; the ROOT they commit to lives in the vk)
+    el: list[Fp4] = field(default_factory=list)
+    en: list[Fp4] = field(default_factory=list)
 
 
 @dataclass
@@ -99,6 +108,8 @@ class ChipOpening:
     quotient_path: list[list[int]]
     perm_row: list[int] = field(default_factory=list)
     perm_path: list[list[int]] = field(default_factory=list)
+    pre_row: list[int] = field(default_factory=list)
+    pre_path: list[list[int]] = field(default_factory=list)
 
 
 @dataclass
@@ -128,6 +139,7 @@ class MachineProof:
                 "pr": c.perm_root, "tl": [e(v) for v in c.tl],
                 "tn": [e(v) for v in c.tn], "pl": [e(v) for v in c.pl],
                 "pn": [e(v) for v in c.pn], "qe": [e(v) for v in c.qe],
+                "el": [e(v) for v in c.el], "en": [e(v) for v in c.en],
             } for c in self.chips],
             "fri_roots": self.fri_roots,
             "fri_final": [e(v) for v in self.fri_final],
@@ -138,6 +150,7 @@ class MachineProof:
                     "tr": o.trace_row, "tp": o.trace_path,
                     "qr": o.quotient_row, "qp": o.quotient_path,
                     "pr": o.perm_row, "pp": o.perm_path,
+                    "er": o.pre_row, "ep": o.pre_path,
                 } for o in q.openings],
                 "fs": [{"p": [e(s.pair[0]), e(s.pair[1])], "mp": s.path}
                        for s in q.fri_steps],
@@ -158,6 +171,8 @@ class MachineProof:
                 perm_root=c["pr"], tl=[d(v) for v in c["tl"]],
                 tn=[d(v) for v in c["tn"]], pl=[d(v) for v in c["pl"]],
                 pn=[d(v) for v in c["pn"]], qe=[d(v) for v in c["qe"]],
+                el=[d(v) for v in c.get("el", [])],
+                en=[d(v) for v in c.get("en", [])],
             ) for c in obj["chips"]],
             fri_roots=obj["fri_roots"],
             fri_final=[d(v) for v in obj["fri_final"]],
@@ -168,6 +183,7 @@ class MachineProof:
                     trace_row=o["tr"], trace_path=o["tp"],
                     quotient_row=o["qr"], quotient_path=o["qp"],
                     perm_row=o.get("pr", []), perm_path=o.get("pp", []),
+                    pre_row=o.get("er", []), pre_path=o.get("ep", []),
                 ) for o in q["ops"]],
                 fri_steps=[FriStep(pair=(d(s["p"][0]), d(s["p"][1])),
                                    path=s["mp"]) for s in q["fs"]],
@@ -187,14 +203,21 @@ def _machine_order(items, log_n_of, name_of):
 
 
 def _observe_header(ch: Challenger, binding: bytes, entries) -> None:
+    """entries: (name, log_n, publics[, preprocessed_root]) per chip — a
+    chip's vk-committed preprocessed root (when present) is bound into
+    the transcript before anything is sampled."""
     ch.observe_bytes(MACHINE_DOMAIN_TAG)
     ch.observe_bytes(binding)
     ch.observe(len(entries))
-    for name, log_n, publics in entries:
+    for entry in entries:
+        name, log_n, publics = entry[0], entry[1], entry[2]
+        pre_root = entry[3] if len(entry) > 3 else None
         ch.observe_bytes(name.encode())
         ch.observe(log_n)
         ch.observe(len(publics))
         ch.observe_many(publics)
+        if pre_root:
+            ch.observe_many(pre_root)
 
 
 def _sample_challenges(ch: Challenger) -> list[Fp4]:
@@ -252,6 +275,16 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
                 f"{inst.air.width}")
         if inst.air.max_constraint_degree + 1 > config.blowup:
             raise ValueError(f"{inst.air.name}: constraint degree too high")
+        pre_w = getattr(inst.air, "preprocessed_width", 0)
+        if pre_w:
+            if inst.preprocessed is None or \
+                    inst.preprocessed.shape != (n, pre_w):
+                raise ValueError(
+                    f"{inst.air.name}: preprocessed trace must be "
+                    f"({n}, {pre_w})")
+        elif inst.preprocessed is not None:
+            raise ValueError(
+                f"{inst.air.name}: unexpected preprocessed trace")
         metas.append((inst, log_n))
     metas = _machine_order(metas, lambda m: m[1], lambda m: m[0].air.name)
     log_N_max = metas[0][1] + config.log_blowup
@@ -267,16 +300,34 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         k = log_N_max - (log_n + config.log_blowup)
         shifts[inst.air.name] = pow(config.shift, 1 << k, P)
 
+    # 0. preprocessed commits — fixed columns, committed before the
+    # transcript starts; their roots are vk material and are bound into
+    # the header (the verifier checks openings against the SAME roots
+    # supplied out-of-band, so a forged preprocessed matrix cannot match)
+    import jax as _jax
+
+    pre_parts: dict[str, dict] = {}
+    for inst, log_n in metas:
+        if getattr(inst.air, "preprocessed_width", 0):
+            k = log_N_max - (log_n + config.log_blowup)
+            s_i = pow(config.shift, 1 << k, P)
+            pre_m = bb.to_mont(jnp.asarray(inst.preprocessed))
+            pre_lde = coset_lde(pre_m, config.log_blowup, s_i)
+            pre_tree = MerkleTree(pre_lde)
+            pre_parts[inst.air.name] = {
+                "pre_m": pre_m, "pre_lde": pre_lde, "pre_tree": pre_tree,
+                "pre_root": [int(x) for x in pre_tree.root]}
+
     ch = Challenger()
     _observe_header(
         ch, binding,
-        [(inst.air.name, log_n, [int(v) % P for v in inst.publics])
+        [(inst.air.name, log_n, [int(v) % P for v in inst.publics],
+          pre_parts.get(inst.air.name, {}).get("pre_root"))
          for inst, log_n in metas])
 
     # 1. main-trace commits: dispatch every chip's LDE + tree first (they
     # run concurrently — across devices when a device list is given), then
     # observe the roots in canonical order
-    import jax as _jax
 
     def _place(arr, idx):
         if devices:
@@ -327,6 +378,7 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         per[name] = {
             "inst": inst, "log_n": log_n, "s": s_i, "trace_m": trace_m,
             "lde": lde, "trace_tree": tree, "dev_idx": idx,
+            **pre_parts.get(name, {}),
         }
         if serial_commit:
             # finish this chip (and free its temporaries) before the next
@@ -430,7 +482,12 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         if use_vm:
             quotient_vals = eval_quotient_vm(
                 air, d["lde"], d["perm_lde"], challenges, publics_full,
-                apow, sels_m, inv_zh_m, periodic_stack, config.log_blowup)
+                apow, sels_m, inv_zh_m, periodic_stack, config.log_blowup,
+                pre_lde=d.get("pre_lde"))
+        elif getattr(air, "preprocessed_width", 0):
+            raise ValueError(
+                f"{name}: preprocessed chips need the constraint-VM "
+                "quotient path (unset ZKTLS_QUOTIENT=xla)")
         else:
             apow_m = jnp.asarray(bb.np_to_mont(apow))
             quotient_fn = _quotient_fn(air, log_n, config.log_blowup)
@@ -480,18 +537,28 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         else:
             pl = np.zeros((0, 4), dtype=np.uint32)
             pn = np.zeros((0, 4), dtype=np.uint32)
+        if "pre_m" in d:
+            pre_coeffs = intt(d["pre_m"])
+            el = _ext_evals_at(pre_coeffs, zpows)
+            en = _ext_evals_at(pre_coeffs, gzpows)
+        else:
+            el = np.zeros((0, 4), dtype=np.uint32)
+            en = np.zeros((0, 4), dtype=np.uint32)
         d["evals"] = {k: [Fp4(*[int(x) for x in row]) for row in arr]
                       for k, arr in (("tl", tl), ("tn", tn), ("pl", pl),
-                                     ("pn", pn), ("qe", qe))}
-        d["evals_np"] = {"tl": tl, "tn": tn, "pl": pl, "pn": pn, "qe": qe}
+                                     ("pn", pn), ("qe", qe), ("el", el),
+                                     ("en", en))}
+        d["evals_np"] = {"tl": tl, "tn": tn, "pl": pl, "pn": pn, "qe": qe,
+                         "el": el, "en": en}
         d["g_zeta"] = g_zeta
-        for k in ("tl", "tn", "pl", "pn", "qe"):
+        for k in ("tl", "tn", "pl", "pn", "qe", "el", "en"):
             for v in d["evals"][k]:
                 ch.observe_ext(v)
         # HBM lifetime: the coefficient forms and raw mont traces are done
         # (batch8's fully-materialized working set crashed the worker)
         d.pop("trace_m", None)
         d.pop("perm_m", None)
+        d.pop("pre_m", None)
         d.pop("q_chunks", None)
     _mark("ood_openings")
 
@@ -503,9 +570,10 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
     for inst, log_n in metas:
         d = per[inst.air.name]
         pw = inst.air.perm_width
+        ew = getattr(inst.air, "preprocessed_width", 0)
         w = inst.air.width
-        d["w_z"] = w + pw + int(d["q_cols"].shape[1])
-        d["w_gz"] = w + pw
+        d["w_z"] = w + ew + pw + int(d["q_cols"].shape[1])
+        d["w_gz"] = w + ew + pw
         d["beta_off"] = total_terms
         total_terms += d["w_z"] + d["w_gz"]
     from .lookup import np_ext_powers
@@ -527,14 +595,18 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             jnp.asarray(ex.from_fp4(d["g_zeta"])), (N, 4))
         inv_x_zeta = ex.ext_inv(ex.ext_sub(x_ext, zeta_arr))
         inv_x_gzeta = ex.ext_inv(ex.ext_sub(x_ext, gzeta_arr))
-        mat_z = jnp.concatenate([d["lde"], d["perm_lde"], d["q_cols"]],
-                                axis=1)
-        mat_gz = jnp.concatenate([d["lde"], d["perm_lde"]], axis=1)
+        pre_lde_d = d.get("pre_lde",
+                          jnp.zeros((N, 0), jnp.uint32))
+        mat_z = jnp.concatenate([d["lde"], pre_lde_d, d["perm_lde"],
+                                 d["q_cols"]], axis=1)
+        mat_gz = jnp.concatenate([d["lde"], pre_lde_d, d["perm_lde"]],
+                                 axis=1)
         env = d["evals_np"]
         ev_z = jnp.asarray(bb.np_to_mont(np.concatenate(
-            [env["tl"], env["pl"], env["qe"]], axis=0).astype(np.uint32)))
+            [env["tl"], env["el"], env["pl"], env["qe"]],
+            axis=0).astype(np.uint32)))
         ev_gz = jnp.asarray(bb.np_to_mont(np.concatenate(
-            [env["tn"], env["pn"]], axis=0).astype(np.uint32)))
+            [env["tn"], env["en"], env["pn"]], axis=0).astype(np.uint32)))
         bslice = jnp.asarray(
             bpow_all[d["beta_off"] : d["beta_off"] + d["w_z"] + d["w_gz"]])
         deep = _deep_fn(log_N, d["w_z"], d["w_gz"])(
@@ -610,6 +682,8 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             "quot": bb.np_from_mont(np.asarray(d["q_cols"][idx])),
             "perm": (bb.np_from_mont(np.asarray(d["perm_lde"][idx]))
                      if inst.air.perm_width else None),
+            "pre": (bb.np_from_mont(np.asarray(d["pre_lde"][idx]))
+                    if "pre_lde" in d else None),
         }
 
     # per-layer FRI pair gathers
@@ -647,6 +721,11 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
                 perm_path=([[int(x) for x in h]
                             for h in d["perm_tree"].open(j)]
                            if d["perm_tree"] is not None else []),
+                pre_row=([int(x) for x in rc["pre"][qi_pos]]
+                         if rc["pre"] is not None else []),
+                pre_path=([[int(x) for x in h]
+                           for h in d["pre_tree"].open(j)]
+                          if "pre_tree" in d else []),
             ))
         steps = []
         for ell, tree in enumerate(fri_trees):
@@ -659,7 +738,7 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
                                     fri_steps=steps))
     _mark("queries")
 
-    return MachineProof(
+    proof = MachineProof(
         chips=[ChipProof(
             name=inst.air.name, log_n=log_n,
             publics=[int(v) % P for v in inst.publics],
@@ -674,6 +753,22 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         pow_witness=pow_witness,
         queries=queries,
     )
+    return proof
+
+
+def preprocessed_root(air: Air, preprocessed: np.ndarray, log_n_max: int,
+                      log_n: int,
+                      config: StarkConfig = DEFAULT_CONFIG) -> list[int]:
+    """The vk commitment of a chip's preprocessed matrix: LDE on the
+    chip's machine coset (determined by its height relative to the
+    machine's largest) + Merkle root.  Deterministic — computed once at
+    setup and distributed with the verifying key."""
+    k = (log_n_max + config.log_blowup) - (log_n + config.log_blowup)
+    s_i = pow(config.shift, 1 << k, P)
+    pre_m = bb.to_mont(jnp.asarray(preprocessed))
+    return [int(x)
+            for x in MerkleTree(coset_lde(pre_m, config.log_blowup,
+                                          s_i)).root]
 
 
 def _count_constraints_machine(air: Air, publics_full: list[int],
@@ -697,6 +792,8 @@ def _count_constraints_machine(air: Air, publics_full: list[int],
         perm_local=[zero] * air.perm_width,
         perm_next=[zero] * air.perm_width,
         challenges=[ExtVal.from_fp4(c) for c in challenges],
+        pre_local=[zero] * getattr(air, "preprocessed_width", 0),
+        pre_next=[zero] * getattr(air, "preprocessed_width", 0),
         **scalar_vec_hooks(fold, lambda v: Fp4(v)),
     )
     air.eval(builder)
@@ -715,7 +812,9 @@ def _check(cond: bool, what: str) -> None:
 
 def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
                    public_messages: list[tuple] | None = None,
-                   config: StarkConfig = DEFAULT_CONFIG) -> bool:
+                   config: StarkConfig = DEFAULT_CONFIG,
+                   preprocessed_roots: dict[str, list[int]] | None = None,
+                   ) -> bool:
     """Verify a machine proof.
 
     public_messages: the verifier-side bus messages, each (tag, payload)
@@ -726,9 +825,16 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
     control chip accounts against).  The global bus balance
     Σ chip bus sums + Σ mult/(γ−fp(msg)) must be zero; any missing, extra
     or altered message breaks it.
+
+    preprocessed_roots: vk material — chip name → Merkle root of the
+    chip's FIXED column matrix (machine.preprocessed_root).  Required for
+    every chip whose air has preprocessed_width > 0; the proof's
+    preprocessed openings are checked against these trusted roots, never
+    against prover-supplied ones.
     Raises VerificationError on failure; returns True on success.
     """
     public_messages = public_messages or []
+    preprocessed_roots = preprocessed_roots or {}
     air_by_name = {a.name: a for a in airs}
     _check(len(air_by_name) == len(airs), "duplicate airs")
     # multiset equality: a proof must contain EVERY air exactly once — a
@@ -776,12 +882,20 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
         if not getattr(air, "has_bus", False):
             _check(cp.bus_sum == [0, 0, 0, 0],
                    f"{cp.name}: non-zero bus sum on busless chip")
+        ew = getattr(air, "preprocessed_width", 0)
+        _check(len(cp.el) == ew and len(cp.en) == ew,
+               f"{cp.name}: bad preprocessed eval count")
+        if ew:
+            _check(cp.name in preprocessed_roots,
+                   f"{cp.name}: verifying key missing preprocessed root")
         geo.append((cp, air, n, log_N, s_i))
 
     # --- transcript replay -------------------------------------------------
     ch = Challenger()
     _observe_header(ch, binding,
-                    [(cp.name, cp.log_n, cp.publics) for cp in proof.chips])
+                    [(cp.name, cp.log_n, cp.publics,
+                      preprocessed_roots.get(cp.name))
+                     for cp in proof.chips])
     for cp in proof.chips:
         ch.observe_many(cp.trace_root)
     challenges = _sample_challenges(ch)
@@ -794,7 +908,7 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
         ch.observe_many(cp.quotient_root)
     zeta = ch.sample_ext()
     for cp in proof.chips:
-        for v in (cp.tl + cp.tn + cp.pl + cp.pn + cp.qe):
+        for v in (cp.tl + cp.tn + cp.pl + cp.pn + cp.qe + cp.el + cp.en):
             ch.observe_ext(v)
     beta = ch.sample_ext()
     fold_betas = []
@@ -846,7 +960,7 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
         folded = air.fold_constraints_scalar(
             cp.tl, cp.tn, publics_full, sels, alpha,
             periodic=periodic_at_zeta, perm_local=cp.pl, perm_next=cp.pn,
-            challenges=challenges)
+            challenges=challenges, pre_local=cp.el, pre_next=cp.en)
         zeta_n = zeta**n
         q_at_zeta = Fp4(0)
         zpow = Fp4(1)
@@ -871,11 +985,13 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
     total_terms = 0
     deep_prep = {}
     for cp, air, n, log_N, s_i in geo:
-        w_z = air.width + air.perm_width + 4 * config.blowup
-        w_gz = air.width + air.perm_width
-        ev_z = np.array([list(v.c) for v in (cp.tl + cp.pl + cp.qe)],
-                        dtype=np.uint64)
-        ev_gz = np.array([list(v.c) for v in (cp.tn + cp.pn)],
+        ew = getattr(air, "preprocessed_width", 0)
+        w_z = air.width + ew + air.perm_width + 4 * config.blowup
+        w_gz = air.width + ew + air.perm_width
+        ev_z = np.array(
+            [list(v.c) for v in (cp.tl + cp.el + cp.pl + cp.qe)],
+            dtype=np.uint64)
+        ev_gz = np.array([list(v.c) for v in (cp.tn + cp.en + cp.pn)],
                          dtype=np.uint64)
         deep_prep[cp.name] = (total_terms, w_z, w_gz, ev_z, ev_gz)
         total_terms += w_z + w_gz
@@ -911,12 +1027,22 @@ def verify_machine(airs: list[Air], proof: MachineProof, binding: bytes,
                     hash_row_ints([v % P for v in op.perm_row]), j,
                     op.perm_path, cp.perm_root),
                     f"{cp.name}: perm Merkle path failed")
+            ew = getattr(air, "preprocessed_width", 0)
+            if ew:
+                _check(len(op.pre_row) == ew,
+                       f"{cp.name}: bad preprocessed row")
+                _check(verify_path(
+                    hash_row_ints([v % P for v in op.pre_row]), j,
+                    op.pre_path, preprocessed_roots[cp.name]),
+                    f"{cp.name}: preprocessed Merkle path failed "
+                    "(vk root)")
             x = Fp4(s_i * pow(two_adic_root(log_N), j, P) % P)
             g = two_adic_root(cp.log_n)
             g_zeta = zeta * g
             off, w_z, w_gz, ev_z, ev_gz = deep_prep[cp.name]
             row_z = np.array(
-                [v % P for v in (list(op.trace_row) + list(op.perm_row)
+                [v % P for v in (list(op.trace_row) + list(op.pre_row)
+                                 + list(op.perm_row)
                                  + list(op.quotient_row))],
                 dtype=np.uint64)
             diff_z = (P - ev_z) % P

@@ -58,17 +58,36 @@ def test_program_builds_and_interprets(inner):
 
 def test_recursion_end_to_end(inner):
     airs, proof = inner
-    shape, outer = recursion_prove(airs, proof, b"fib-recursion",
-                                   inner_config=INNER_CFG,
-                                   outer_config=OUTER_CFG)
-    # serialization roundtrip of the outer proof
+    vk, outer = recursion_prove(airs, proof, b"fib-recursion",
+                                inner_config=INNER_CFG,
+                                outer_config=OUTER_CFG)
+    # serialization roundtrips: outer proof AND verifying key
     outer2 = MachineProof.from_bytes(outer.to_bytes())
-    assert recursion_verify(airs, shape, outer2, b"fib-recursion",
+    from zktls_tpu.stark.recursion import RecursionVK
+
+    vk2 = RecursionVK.from_bytes(vk.to_bytes())
+    # FAST path: verify against the vk — the program is never rebuilt
+    assert recursion_verify(airs, vk2, outer2, b"fib-recursion",
                             inner_config=INNER_CFG,
                             outer_config=OUTER_CFG)
-    # a different binding must fail (program differs → bus imbalance)
+    # setup path: bare shape — rebuilds the program, derives the same vk
+    assert recursion_verify(airs, vk.shape, outer2, b"fib-recursion",
+                            inner_config=INNER_CFG,
+                            outer_config=OUTER_CFG)
+    # a different binding must fail (chain seed + pub values differ →
+    # bus imbalance against the proven transcript)
     with pytest.raises(VerificationError):
-        recursion_verify(airs, shape, outer2, b"fib-recursioX",
+        recursion_verify(airs, vk2, outer2, b"fib-recursioX",
+                         inner_config=INNER_CFG, outer_config=OUTER_CFG)
+    # a forged program cannot pass: a tampered vk root breaks the
+    # preprocessed Merkle openings
+    bad_vk = RecursionVK(shape=vk.shape,
+                         program_root=tuple(
+                             [vk.program_root[0] ^ 1,
+                              *vk.program_root[1:]]),
+                         n_instrs=vk.n_instrs, n_pubs=vk.n_pubs)
+    with pytest.raises(VerificationError):
+        recursion_verify(airs, bad_vk, outer2, b"fib-recursion",
                          inner_config=INNER_CFG, outer_config=OUTER_CFG)
 
 
@@ -126,11 +145,15 @@ def test_forged_witness_rejected_by_outer_verifier(inner):
     import numpy as np
 
     from zktls_tpu.stark.chips.vm import LAYOUT as VL, vm_trace
-    from zktls_tpu.stark.recursion import _outer_chips, \
-        _outer_public_messages
+    from zktls_tpu.stark.recursion import (
+        _outer_chips,
+        _session_messages,
+        _vk_from_prog,
+    )
 
     airs, proof = inner
-    prog = build_program(airs, MachineShape.of(proof), b"fib-recursion",
+    shape = MachineShape.of(proof)
+    prog = build_program(airs, shape, b"fib-recursion",
                          [], INNER_CFG, proof=proof)
     chips = _outer_chips(prog)
     # flip a witness value limb in the VM trace (a wit-op output)
@@ -139,14 +162,19 @@ def test_forged_witness_rejected_by_outer_verifier(inner):
                 if prog.instrs[i].op == "wit"]
     row = wit_rows[0]
     vtrace[row, VL["o1"].start] ^= 1
-    chips[0] = ChipInstance(air=chips[0].air, trace=vtrace, publics=[])
-    outer_binding = b"fib-recursion" + MachineShape.of(proof).to_bytes()
+    chips[0] = ChipInstance(air=chips[0].air, trace=vtrace, publics=[],
+                            preprocessed=chips[0].preprocessed)
+    outer_binding = b"fib-recursion" + shape.to_bytes()
     bad_outer = prove_machine(chips, binding=outer_binding,
                               config=OUTER_CFG)
+    vk = _vk_from_prog(prog, shape, OUTER_CFG)
     with pytest.raises(VerificationError):
-        verify_machine(outer_airs(), bad_outer, binding=outer_binding,
-                       public_messages=_outer_public_messages(prog),
-                       config=OUTER_CFG)
+        verify_machine(
+            outer_airs(), bad_outer, binding=outer_binding,
+            public_messages=_session_messages(shape, b"fib-recursion",
+                                              []),
+            config=OUTER_CFG,
+            preprocessed_roots={"VmAir": list(vk.program_root)})
 
 
 @pytest.mark.skipif(not __import__("os").environ.get("ZKTLS_SLOW_TESTS"),

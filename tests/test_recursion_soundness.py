@@ -13,28 +13,34 @@ from zktls_tpu.stark.chips.sponge import (
     SpongeRow,
     sponge_trace,
 )
-from zktls_tpu.stark.chips.vm import LAYOUT as VL, OP_IDX, Instr, VmAir, \
-    vm_trace
+from zktls_tpu.stark.chips.vm import LAYOUT as VL, Instr, VmAir, \
+    vm_preprocessed, vm_trace
 from zktls_tpu.stark.debug import check_trace
 
 CHALLENGES = [Fp4(3, 1, 4, 1), Fp4(2, 7, 1, 8)] + [
     Fp4(2, 7, 1, 8) ** k for k in range(2, 37)]
 
+_PROG = [Instr(op="const", io1=1, imm=(5, 0, 0, 0), m1=1),
+         Instr(op="add", ia=1, ib=1, io1=2, ra=1, rb=1, m1=1),
+         Instr(op="pub", io1=3, imm=(0, 0, 0, 0), m1=1),
+         Instr(op="azero", ia=4, ra=1)]
+_VALUES = {1: (5, 0, 0, 0), 2: (10, 0, 0, 0), 3: (42, 0, 0, 0),
+           4: (0, 0, 0, 0)}
 
-def _vm_check(trace):
+
+def _vm_check(trace, pre=None):
     air = VmAir()
-    perm = air.generate_perm_trace(trace, [], CHALLENGES)
+    if pre is None:
+        pre = vm_preprocessed(_PROG)
+    perm = air.generate_perm_trace(trace, [], CHALLENGES,
+                                   preprocessed=pre)
     pubs = [int(v) for v in perm[-1, -4:]]
     return check_trace(air, trace, pubs, perm_trace=perm,
-                       challenges=CHALLENGES)
+                       challenges=CHALLENGES, preprocessed=pre)
 
 
 def _vm_trace():
-    prog = [Instr(op="const", io1=1, imm=(5, 0, 0, 0), m1=1),
-            Instr(op="add", ia=1, ib=1, io1=2, ra=1, rb=1, m1=1),
-            Instr(op="azero", ia=3, ra=1)]
-    values = {1: (5, 0, 0, 0), 2: (10, 0, 0, 0), 3: (0, 0, 0, 0)}
-    trace, _ = vm_trace(prog, values)
+    trace, _ = vm_trace(_PROG, _VALUES)
     return trace
 
 
@@ -42,33 +48,29 @@ def test_vm_honest_trace_satisfies_constraints():
     assert _vm_check(_vm_trace()) == []
 
 
-def test_vm_live_row_without_opcode_rejected():
-    """A live row with ALL op flags zero (op_id = 0 = const by sum) used
-    to leave its output unconstrained — now Σ s_i == live forbids it."""
+def test_vm_forged_const_output_rejected():
+    """The program is vk-committed (preprocessed): a prover can only
+    choose the witness columns, and a const row's output must equal its
+    committed immediate."""
     trace = _vm_trace()
-    trace[0, VL["s"]] = 0                     # strip the const flag
-    trace[0, VL["o1"].start] = 12345          # forge the constant
+    trace[0, VL["o1"].start] = 12345
     assert _vm_check(trace) != []
 
 
-def test_vm_doubled_opcode_flag_rejected():
-    """azero encoded as s_sel = 2 (op_id 2·4 = 8 = azero) silenced the
-    assertion pre-fix; flag booleanity now rejects it."""
+def test_vm_silenced_assertion_rejected():
+    """An azero row's operand is constrained to zero — feeding it a
+    nonzero value (to smuggle a failed verifier check) violates the
+    gated constraint."""
     trace = _vm_trace()
-    row = 2                                   # the azero row
-    trace[row, VL["s"]] = 0
-    trace[row, VL["s"].start + OP_IDX["sel"]] = 2
-    trace[row, VL["a"].start] = 77            # non-zero "asserted" value
+    trace[3, VL["a"].start] = 77
     assert _vm_check(trace) != []
 
 
-def test_vm_dead_row_bus_fields_rejected():
-    """Dead rows could send/receive arbitrary dataflow messages through
-    ungated multiplicities; (1 − live)·m == 0 now forbids it."""
+def test_vm_pub_high_limbs_rejected():
+    """PUB rows carry base values: non-zero high limbs are rejected (the
+    bus message only pins limb 0)."""
     trace = _vm_trace()
-    dead = 5                                  # beyond the 3 live rows
-    assert trace[dead, VL["live"].start] == 0
-    trace[dead, VL["m1"].start] = 1
+    trace[2, VL["o1"].start + 2] = 9
     assert _vm_check(trace) != []
 
 

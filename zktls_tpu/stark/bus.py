@@ -31,7 +31,7 @@ __all__ = [
     "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_SP16_CHAIN",
     "BUS_SP24_CHAIN", "BUS_HASH_ABS", "BUS_HASH_OUT", "BUS_HASH_ABS24",
     "BUS_HASH_OUT24", "BUS_VM_VAL",
-    "BUS_VM_INSTR", "BUS_AES_ENC", "BUS_GCM_H",
+    "BUS_VM_INSTR", "BUS_VM_PUB", "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
     "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
@@ -150,9 +150,15 @@ BUS_HASH_OUT24 = 0x120
 #: once (multiplicity = consumer count), received per use.
 BUS_VM_VAL = 0x11D
 #: (pc, op, ia, ib, ic, io1, io2, imm0..3, m1, m2, ra, rb, rc2, ub) —
-#: one VM instruction, sent by the VERIFIER (the program is a public
-#: deterministic function of (vk, journal)), consumed by the VM row.
+#: one VM instruction.  LEGACY: the program now lives in the VM chip's
+#: preprocessed columns (vk-committed); this tag is retained only for
+#: payload-format tooling.
 BUS_VM_INSTR = 0x11E
+#: (k, value) — the k-th per-session public input of a recursion
+#: program (transcript-header residues, inner public-message payloads),
+#: sent by the VERIFIER, received by the VM's PUB row.  Keeps the
+#: program — and the vk — independent of journal content.
+BUS_VM_PUB = 0x121
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes

@@ -5,16 +5,23 @@ program is compiled from the verifier (sp1-recursion-{core,compiler},
 risc0-circuit-recursion, SURVEY.md §2.2.B/C).  This chip is the
 equivalent execution table:
 
-  * the PROGRAM is not committed by the prover: the machine verifier
-    derives it deterministically from (inner vk, journal) and SENDS one
-    (BUS_VM_INSTR, pc, fields…) message per row, which the row consumes —
-    a forged program breaks the bus (the round-5 upgrade is hashing the
-    program into the vk so the wrap circuit pays O(1), not O(L));
+  * the PROGRAM lives in PREPROCESSED columns: every instruction field
+    (opcode one-hot, operand/result indices, immediates, multiplicities,
+    receive flags) is part of a fixed matrix committed at setup whose
+    Merkle root is the recursion VERIFYING KEY — outer verification costs
+    O(queries), not O(program length), and the wrap circuit only ever
+    touches the vk root;
+  * per-session inputs (transcript-header residues, the inner proof's
+    public bus-message payloads) enter through PUB rows: the verifier
+    sends (BUS_VM_PUB, k, value) messages carrying the session values, so
+    the program — and hence the vk — is a pure function of the inner
+    proof's SHAPE, never of journal content;
   * dataflow is SSA over the bus: a row's result is sent as
     (BUS_VM_VAL, idx, 4 ext limbs) with multiplicity = its consumer
     count; operand slots receive the same messages;
   * hashing is delegated to the sponge chips: HABS sends operand a's
-    base limb to (sid, seq, lane), HOUT receives a sponge output lane.
+    base limb to (sid, seq, lane), HOUT receives a sponge output lane
+    (chips/sponge.py; width/mode pinned via imm2/imm1).
 
 Values are quartic-extension elements (4 base limbs).  Ops:
 
@@ -29,6 +36,7 @@ Values are quartic-extension elements (4 base limbs).  Ops:
   AZERO   assert a = 0
   WIT     out = free witness (proof data; pinned by later hash/eq checks)
   MAC     out = a + b_eff·c  (fused multiply-add, still degree 3)
+  PUB     out = public-input value k = imm0 (base; verifier-sent)
 """
 
 from __future__ import annotations
@@ -42,16 +50,17 @@ from ..bus import (
     BUS_HASH_ABS24,
     BUS_HASH_OUT,
     BUS_HASH_OUT24,
-    BUS_VM_INSTR,
+    BUS_VM_PUB,
     BUS_VM_VAL,
     np_bus_inverse_terms,
 )
 from ..ext_val import ExtVal
 
-__all__ = ["VmAir", "vm_trace", "OPS", "Instr", "instr_payload"]
+__all__ = ["VmAir", "vm_trace", "vm_preprocessed", "OPS", "Instr",
+           "instr_payload"]
 
 OPS = ["const", "add", "sub", "mul", "sel", "bit", "habs", "hout",
-       "azero", "wit", "mac"]
+       "azero", "wit", "mac", "pub"]
 OP_IDX = {name: i for i, name in enumerate(OPS)}
 
 
@@ -59,7 +68,8 @@ class Instr:
     """One program row.  ia/ib/ic: operand value indices; io1/io2:
     result indices; imm: 4 base limbs; m1/m2: result consumer counts;
     ra/rb/rc2: operand-receive flags; ub: b-from-imm flag.  For hash ops
-    (ib, ic, imm0) carry (sid, seq, lane)."""
+    (ib, ic) carry (sid, seq) and imm carries (lane, absorb-mode,
+    width-flag); for pub ops imm0 is the public-input index."""
 
     __slots__ = ("op", "ia", "ib", "ic", "io1", "io2", "imm", "m1", "m2",
                  "ra", "rb", "rc2", "ub")
@@ -76,7 +86,8 @@ class Instr:
 
 
 def instr_payload(pc: int, ins: Instr) -> list[int]:
-    """The BUS_VM_INSTR payload — the verifier sends exactly this."""
+    """Canonical field list of one instruction (program fingerprinting /
+    stream-equality tests)."""
     return ([pc, OP_IDX[ins.op], ins.ia, ins.ib, ins.ic, ins.io1,
              ins.io2] + list(ins.imm)
             + [ins.m1, ins.m2, ins.ra, ins.rb, ins.rc2, ins.ub])
@@ -99,10 +110,10 @@ class _Layout:
         return self.slices[name]
 
 
-def _build_layout() -> _Layout:
+def _build_pre_layout() -> _Layout:
+    """Preprocessed (program) columns — vk-committed, not prover-chosen."""
     L = _Layout()
     L.add("live")
-    L.add("pc")
     L.add("s", len(OPS))    # opcode one-hot
     L.add("ia"); L.add("ib"); L.add("ic")
     L.add("io1"); L.add("io2")
@@ -110,13 +121,20 @@ def _build_layout() -> _Layout:
     L.add("m1"); L.add("m2")
     L.add("ra"); L.add("rb"); L.add("rc2")
     L.add("ub")
+    return L
+
+
+def _build_main_layout() -> _Layout:
+    """Witness columns — the dataflow values."""
+    L = _Layout()
     L.add("a", 4); L.add("b", 4); L.add("c", 4)
     L.add("beff", 4)        # ub·imm + (1−ub)·b
     L.add("o1", 4); L.add("o2", 4)
     return L
 
 
-LAYOUT = _build_layout()
+PRE_LAYOUT = _build_pre_layout()
+LAYOUT = _build_main_layout()
 
 #: quartic extension: x⁴ = W_EXT (ops/field_ref.py)
 from ...ops.field_ref import W_EXT  # noqa: E402
@@ -137,9 +155,10 @@ def _ext_mul_limbs(a, b):
 
 class VmAir(Air):
     width = LAYOUT.width
+    preprocessed_width = PRE_LAYOUT.width
     num_public = 0
     max_constraint_degree = 3
-    #: instr recv ‖ a/b/c recvs ‖ o1/o2 sends ‖ habs send ‖ hout recv
+    #: a/b/c recvs ‖ o1/o2 sends ‖ habs send ‖ hout recv ‖ pub recv
     #: ‖ u ‖ acc
     perm_width = 4 * 10
     num_perm_challenges = 2
@@ -148,52 +167,34 @@ class VmAir(Air):
 
     def eval(self, b: AirBuilder) -> None:
         L = LAYOUT
+        PL = PRE_LAYOUT
 
         def col(name, i=0):
             return b.local[L[name].start + i]
 
-        def grp(name):
-            return b.local_group(L[name])
+        def pre(name, i=0):
+            return b.pre_local[PL[name].start + i]
 
-        live = col("live")
-        b.assert_bool(live)
-        s = [col("s", i) for i in range(len(OPS))]
-        # opcode flags: each boolean, and Σ s_i == live — so a live row
-        # has EXACTLY one opcode (op_id = Σ i·s_i is then injective) and a
-        # dead row has none.  Without this, a live row with all flags zero
-        # (or a doubled flag) would leave its output/assertion
-        # unconstrained while still matching a pinned instruction.
-        s_sum = None
-        for flag in s:
-            b.assert_bool(flag)
-            s_sum = flag if s_sum is None else s_sum + flag
-        b.assert_zero(s_sum - live)
-        # dead rows must not touch the bus: every prover-free multiplicity
-        # and receive flag vanishes when live = 0 (the instruction-message
-        # receive that pins these fields is itself gated by live)
-        for nm in ("m1", "m2", "ra", "rb", "rc2"):
-            b.assert_zero((1 - live) * col(nm))
+        # program fields are vk-committed — no constraints needed ON them;
+        # everything below is gated BY them
+        live = pre("live")
+        s = [pre("s", i) for i in range(len(OPS))]
         A = [col("a", i) for i in range(4)]
         B_ = [col("b", i) for i in range(4)]
         C = [col("c", i) for i in range(4)]
         BE = [col("beff", i) for i in range(4)]
         O1 = [col("o1", i) for i in range(4)]
         O2 = [col("o2", i) for i in range(4)]
-        IMM = [col("imm", i) for i in range(4)]
-
-        # pc: 0 on the first row, +1 per live row (dead rows at the end)
-        b.when_first_row(col("pc"))
-        b.when_transition(b.next[L["pc"].start] - col("pc") - live)
+        IMM = [pre("imm", i) for i in range(4)]
 
         # b_eff = ub·imm + (1−ub)·b
-        ub = col("ub")
+        ub = pre("ub")
         for i in range(4):
             b.assert_zero(BE[i] - (ub * IMM[i] + (1 - ub) * B_[i]))
 
-        # --- op semantics (program fields are verifier-pinned, so each
-        # op's constraint is gated by its one-hot flag) ---
+        # --- op semantics, each gated by its one-hot flag ---
         (s_const, s_add, s_sub, s_mul, s_sel, s_bit, s_habs, s_hout,
-         s_az, _s_wit, s_mac) = s   # wit: output unconstrained
+         s_az, _s_wit, s_mac, s_pub) = s   # wit: output unconstrained
         for i in range(4):
             b.assert_zero(s_const * (O1[i] - IMM[i]))
             b.assert_zero(s_add * (O1[i] - A[i] - BE[i]))
@@ -220,9 +221,10 @@ class VmAir(Air):
         # HABS: a base-only
         for i in range(1, 4):
             b.assert_zero(s_habs * A[i])
-        # HOUT: out high limbs zero (the received lane is limb 0)
+        # HOUT / PUB: out high limbs zero (the received value is limb 0)
         for i in range(1, 4):
             b.assert_zero(s_hout * O1[i])
+            b.assert_zero(s_pub * O1[i])
 
         # --- bus ---
         gamma = b.challenges[0]
@@ -230,59 +232,46 @@ class VmAir(Air):
         def dpow(i):
             return b.challenges[1 + i]
 
-        op_id = None
-        for i, flag in enumerate(s):
-            term = flag * i
-            op_id = term if op_id is None else op_id + term
-        fp_instr = (ExtVal.from_base(BUS_VM_INSTR) + dpow(0) * col("pc")
-                    + dpow(1) * op_id + dpow(2) * col("ia")
-                    + dpow(3) * col("ib") + dpow(4) * col("ic")
-                    + dpow(5) * col("io1") + dpow(6) * col("io2"))
-        for i in range(4):
-            fp_instr = fp_instr + dpow(7 + i) * IMM[i]
-        fp_instr = (fp_instr + dpow(11) * col("m1") + dpow(12) * col("m2")
-                    + dpow(13) * col("ra") + dpow(14) * col("rb")
-                    + dpow(15) * col("rc2") + dpow(16) * ub)
-
         def fp_val(idx, limbs):
             f = ExtVal.from_base(BUS_VM_VAL) + dpow(0) * idx
             for i in range(4):
                 f = f + dpow(1 + i) * limbs[i]
             return f
 
-        fp_a = fp_val(col("ia"), A)
-        fp_b = fp_val(col("ib"), B_)
-        fp_c = fp_val(col("ic"), C)
-        fp_o1 = fp_val(col("io1"), O1)
-        fp_o2 = fp_val(col("io2"), O2)
+        fp_a = fp_val(pre("ia"), A)
+        fp_b = fp_val(pre("ib"), B_)
+        fp_c = fp_val(pre("ic"), C)
+        fp_o1 = fp_val(pre("io1"), O1)
+        fp_o2 = fp_val(pre("io2"), O2)
         # hash-bus fingerprints: (sid=ib, seq=ic, lane=imm0, value, am=imm1)
         # with the WIDTH-SPECIFIC tag selected by imm2 (0 → Sponge16 tags,
-        # 1 → Sponge24 tags) — all three extra fields are instruction
-        # fields, so the verifier-pinned program controls mode and width.
+        # 1 → Sponge24 tags) — mode and width are program-pinned.
         fp_habs = (ExtVal.from_base(BUS_HASH_ABS)
                    + (BUS_HASH_ABS24 - BUS_HASH_ABS) * IMM[2]
-                   + dpow(0) * col("ib")
-                   + dpow(1) * col("ic") + dpow(2) * IMM[0]
+                   + dpow(0) * pre("ib")
+                   + dpow(1) * pre("ic") + dpow(2) * IMM[0]
                    + dpow(3) * A[0] + dpow(4) * IMM[1])
         fp_hout = (ExtVal.from_base(BUS_HASH_OUT)
                    + (BUS_HASH_OUT24 - BUS_HASH_OUT) * IMM[2]
-                   + dpow(0) * col("ib")
-                   + dpow(1) * col("ic") + dpow(2) * IMM[0]
+                   + dpow(0) * pre("ib")
+                   + dpow(1) * pre("ic") + dpow(2) * IMM[0]
                    + dpow(3) * O1[0])
-        names = ["instr", "a", "b", "c", "o1", "o2", "habs", "hout"]
-        fps = [fp_instr, fp_a, fp_b, fp_c, fp_o1, fp_o2, fp_habs, fp_hout]
+        # public-input receive: (k = imm0, value)
+        fp_pub = (ExtVal.from_base(BUS_VM_PUB) + dpow(0) * IMM[0]
+                  + dpow(1) * O1[0])
+        fps = [fp_a, fp_b, fp_c, fp_o1, fp_o2, fp_habs, fp_hout, fp_pub]
         ivs = []
         for k, f in enumerate(fps):
             iv = b.perm_ext(k)
             b.assert_ext_zero(iv * (gamma - f) - 1)
             ivs.append(iv)
-        (iv_instr, iv_a, iv_b, iv_c, iv_o1, iv_o2, iv_habs,
-         iv_hout) = ivs
-        u_def = (iv_o1 * col("m1") + iv_o2 * col("m2")
+        (iv_a, iv_b, iv_c, iv_o1, iv_o2, iv_habs, iv_hout, iv_pub) = ivs
+        # multiplicities/flags are preprocessed: dead rows have them all 0
+        u_def = (iv_o1 * pre("m1") + iv_o2 * pre("m2")
                  + iv_habs * s_habs
-                 - iv_instr * live
-                 - iv_a * col("ra") - iv_b * col("rb")
-                 - iv_c * col("rc2") - iv_hout * s_hout)
+                 - iv_a * pre("ra") - iv_b * pre("rb")
+                 - iv_c * pre("rc2") - iv_hout * s_hout
+                 - iv_pub * s_pub)
         u = b.perm_ext(8)
         acc = b.perm_ext(9)
         u_n = b.perm_ext(8, nxt=True)
@@ -292,38 +281,34 @@ class VmAir(Air):
         b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
         for ell in range(4):
             b.when_last_row(acc.c[ell] - b.public[ell])
+        _ = live  # live gating is implicit: all flags vanish on dead rows
 
     # ------------------------------------------------------------------
 
-    def generate_perm_trace(self, main, publics, challenges):
+    def generate_perm_trace(self, main, publics, challenges,
+                            preprocessed=None):
         L = LAYOUT
-        n = main.shape[0]
+        PL = PRE_LAYOUT
+        if preprocessed is None:
+            raise ValueError("VmAir needs its preprocessed program matrix")
 
-        def col1(name, i=0):
-            return main[:, L[name].start + i].astype(np.uint64)
+        def pcol1(name, i=0):
+            return preprocessed[:, PL[name].start + i].astype(np.uint64)
+
+        def pcols(name):
+            return preprocessed[:, PL[name]].astype(np.uint64)
 
         def cols(name):
             return main[:, L[name]].astype(np.uint64)
 
-        live = col1("live")
-        pc = col1("pc")
-        s = cols("s")
-        op_id = (s * np.arange(len(OPS), dtype=np.uint64)[None, :]
-                 ).sum(axis=1)
-        ia, ib, ic = col1("ia"), col1("ib"), col1("ic")
-        io1, io2 = col1("io1"), col1("io2")
-        imm = cols("imm")
-        m1, m2 = col1("m1"), col1("m2")
-        ra, rb, rc2 = col1("ra"), col1("rb"), col1("rc2")
-        ub = col1("ub")
+        s = pcols("s")
+        ia, ib, ic = pcol1("ia"), pcol1("ib"), pcol1("ic")
+        io1, io2 = pcol1("io1"), pcol1("io2")
+        imm = pcols("imm")
+        m1, m2 = pcol1("m1"), pcol1("m2")
+        ra, rb, rc2 = pcol1("ra"), pcol1("rb"), pcol1("rc2")
         a, b_, c = cols("a"), cols("b"), cols("c")
         o1, o2 = cols("o1"), cols("o2")
-        instr_pl = np.concatenate(
-            [pc[:, None], op_id[:, None], ia[:, None], ib[:, None],
-             ic[:, None], io1[:, None], io2[:, None], imm, m1[:, None],
-             m2[:, None], ra[:, None], rb[:, None], rc2[:, None],
-             ub[:, None]], axis=1)
-        iv_instr = np_bus_inverse_terms(challenges, BUS_VM_INSTR, instr_pl)
 
         def val_iv(idx, limbs):
             return np_bus_inverse_terms(
@@ -345,20 +330,24 @@ class VmAir(Air):
         iv_hout = np_bus_inverse_terms(
             challenges, tag_out, np.stack(
                 [ib, ic, imm[:, 0], o1[:, 0]], axis=1))
+        iv_pub = np_bus_inverse_terms(
+            challenges, BUS_VM_PUB, np.stack(
+                [imm[:, 0], o1[:, 0]], axis=1))
         s_habs = s[:, OP_IDX["habs"]]
         s_hout = s[:, OP_IDX["hout"]]
+        s_pub = s[:, OP_IDX["pub"]]
         u = (iv_o1.astype(np.uint64) * m1[:, None]
              + iv_o2.astype(np.uint64) * m2[:, None]
              + iv_habs.astype(np.uint64) * s_habs[:, None]) % P
-        neg = (iv_instr.astype(np.uint64) * live[:, None]
-               + iv_a.astype(np.uint64) * ra[:, None]
+        neg = (iv_a.astype(np.uint64) * ra[:, None]
                + iv_b.astype(np.uint64) * rb[:, None]
                + iv_c.astype(np.uint64) * rc2[:, None]
-               + iv_hout.astype(np.uint64) * s_hout[:, None]) % P
+               + iv_hout.astype(np.uint64) * s_hout[:, None]
+               + iv_pub.astype(np.uint64) * s_pub[:, None]) % P
         u = (u + P - neg) % P
         acc = np.cumsum(u.astype(object), axis=0) % P
         return np.concatenate(
-            [iv_instr, iv_a, iv_b, iv_c, iv_o1, iv_o2, iv_habs, iv_hout,
+            [iv_a, iv_b, iv_c, iv_o1, iv_o2, iv_habs, iv_hout, iv_pub,
              u.astype(np.uint64), acc.astype(np.uint64)],
             axis=1).astype(np.uint32)
 
@@ -368,32 +357,53 @@ class VmAir(Air):
 # ---------------------------------------------------------------------------
 
 
-def vm_trace(program: list[Instr], values: dict[int, tuple],
-             min_log_n: int = 4):
-    """Build the VM trace from the program and the resolved value map
-    (idx → 4 base limbs, produced by the recursion interpreter).
-    Vectorized: full-scale recursion programs are millions of rows."""
-    L = LAYOUT
-    n_real = max(len(program), 1)
-    log_n = max(min_log_n, (n_real - 1).bit_length())
-    n = 1 << log_n
-    trace = np.zeros((n, L.width), dtype=np.uint32)
+def _gather_fields(program: list[Instr]):
     m = len(program)
-    if m == 0:
-        return trace, []
-    # gather instruction fields into arrays
     ops = np.fromiter((OP_IDX[i.op] for i in program), np.int64, m)
     f = {nm: np.fromiter((getattr(i, nm) % P for i in program),
                          np.uint32, m)
          for nm in ("ia", "ib", "ic", "io1", "io2", "m1", "m2", "ra",
                     "rb", "rc2", "ub")}
-    imm = np.array([i.imm for i in program], dtype=np.uint32)
-    trace[:m, L["live"].start] = 1
-    trace[:m, L["pc"].start] = np.arange(m, dtype=np.uint32)
-    trace[np.arange(m), L["s"].start + ops] = 1
+    imm = (np.array([i.imm for i in program], dtype=np.uint32)
+           if m else np.zeros((0, 4), np.uint32))
+    return ops, f, imm
+
+
+def _height(program: list[Instr], min_log_n: int) -> int:
+    n_real = max(len(program), 1)
+    return max(min_log_n, (n_real - 1).bit_length())
+
+
+def vm_preprocessed(program: list[Instr], min_log_n: int = 4) -> np.ndarray:
+    """The FIXED program matrix — a pure function of the program; its
+    machine commitment root is the recursion verifying key."""
+    PL = PRE_LAYOUT
+    n = 1 << _height(program, min_log_n)
+    pre = np.zeros((n, PL.width), dtype=np.uint32)
+    m = len(program)
+    if m == 0:
+        return pre
+    ops, f, imm = _gather_fields(program)
+    pre[:m, PL["live"].start] = 1
+    pre[np.arange(m), PL["s"].start + ops] = 1
     for nm, arr in f.items():
-        trace[:m, L[nm].start] = arr
-    trace[:m, L["imm"]] = imm
+        pre[:m, PL[nm].start] = arr
+    pre[:m, PL["imm"]] = imm
+    return pre
+
+
+def vm_trace(program: list[Instr], values: dict[int, tuple],
+             min_log_n: int = 4):
+    """Build the VM witness trace from the program and the resolved value
+    map (idx → 4 base limbs, produced by the recursion interpreter).
+    Vectorized: full-scale recursion programs are millions of rows."""
+    L = LAYOUT
+    n = 1 << _height(program, min_log_n)
+    trace = np.zeros((n, L.width), dtype=np.uint32)
+    m = len(program)
+    if m == 0:
+        return trace, []
+    _ops, f, imm = _gather_fields(program)
     # value table: idx → limbs (idx 0 = the zero value)
     n_vals = max(values.keys(), default=0) + 1
     vt = np.zeros((n_vals, 4), dtype=np.uint32)
@@ -409,7 +419,4 @@ def vm_trace(program: list[Instr], values: dict[int, tuple],
     trace[:m, L["beff"]] = beff
     trace[:m, L["o1"]] = vt[f["io1"]]
     trace[:m, L["o2"]] = vt[f["io2"]]
-    # dead rows: all op flags 0 → no semantics; pc holds at the program
-    # length (the transition adds live = 0)
-    trace[m:, L["pc"].start] = m
     return trace, []

@@ -399,8 +399,11 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         air = inst.air
         n = 1 << log_n
         if air.perm_width:
+            kw = ({"preprocessed": inst.preprocessed}
+                  if inst.preprocessed is not None else {})
             perm_np = air.generate_perm_trace(
-                inst.trace, [int(v) % P for v in inst.publics], challenges)
+                inst.trace, [int(v) % P for v in inst.publics], challenges,
+                **kw)
             if perm_np.shape != (n, air.perm_width):
                 raise ValueError(f"{name}: bad perm trace shape")
             perm_m = bb.to_mont(_place(jnp.asarray(perm_np), d["dev_idx"]))

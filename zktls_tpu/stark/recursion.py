@@ -35,13 +35,20 @@ from ..ops.field_ref import Fp4, P, two_adic_root
 from .air import Air, AirBuilder, scalar_vec_hooks
 from .bus import (
     BUS_SP16_CHAIN,
-    BUS_VM_INSTR,
+    BUS_VM_PUB,
     MAX_PAYLOAD,
     bus_fingerprint,
 )
 from .challenger import Challenger
 from .chips.sponge import Sponge16Air, Sponge24Air, SpongeRow, sponge_trace
-from .chips.vm import Instr, OP_IDX, VmAir, instr_payload, vm_trace
+from .chips.vm import (
+    Instr,
+    OP_IDX,
+    VmAir,
+    instr_payload,
+    vm_preprocessed,
+    vm_trace,
+)
 from .config import DEFAULT_CONFIG, StarkConfig
 from .ext_val import ExtVal
 from .machine import (
@@ -50,13 +57,15 @@ from .machine import (
     MachineProof,
     _machine_order,
     _observe_header,
+    preprocessed_root,
     prove_machine,
     verify_machine,
 )
 from .verifier import VerificationError
 
-__all__ = ["MachineShape", "recursion_prove", "recursion_verify",
-           "build_program", "outer_airs"]
+__all__ = ["MachineShape", "RecursionVK", "recursion_prove",
+           "recursion_verify", "recursion_vk", "build_program",
+           "outer_airs"]
 
 _X = Fp4(0, 1, 0, 0)
 _EXT_BASIS = [Fp4(1), Fp4(0, 1), Fp4(0, 0, 1), Fp4(0, 0, 0, 1)]
@@ -155,6 +164,9 @@ class Prog:
         self.next_idx = 1
         self.uses: dict[int, int] = {}
         self.strict = strict
+        #: per-session public inputs, in PUB-row order — the verifier
+        #: sends (BUS_VM_PUB, k, value) for each (vm chip pub receive)
+        self.pub_values: list[int] = []
         # sponge bookkeeping: rows per width; states per (sid, seq)
         self.sp_rows: dict[int, list] = {16: [], 24: []}
         self.sp_states: dict[tuple, list] = {}
@@ -191,6 +203,19 @@ class Prog:
     def wit(self, v) -> Val:
         out = self._new(_fp4(v) if self.strict else _fp4(v))
         self._emit(op="wit", io1=out.idx)
+        return out
+
+    def pub(self, v) -> Val:
+        """A per-session public input (base value): the row RECEIVES the
+        value from a verifier-sent (BUS_VM_PUB, k, value) message, so the
+        program structure — and the vk — never embeds session data."""
+        v = _fp4(v)
+        if tuple(v.c[1:]) != (0, 0, 0):
+            raise VerificationError("public inputs must be base values")
+        out = self._new(v)
+        k = len(self.pub_values)
+        self.pub_values.append(int(v.c[0]))
+        self._emit(op="pub", io1=out.idx, imm=(k, 0, 0, 0))
         return out
 
     def _binop(self, op, a, b) -> Val:
@@ -380,7 +405,7 @@ class Prog:
         produced: dict[int, int] = {}
         for i, ins in enumerate(self.instrs):
             if ins.op in ("const", "add", "sub", "mul", "sel", "hout",
-                          "wit", "mac"):
+                          "wit", "mac", "pub"):
                 produced[ins.io1] = i
                 ins.m1 = self.uses.get(ins.io1, 0)
             if ins.op == "bit":
@@ -441,7 +466,9 @@ class _ProgChallenger:
         # but this chain CONTINUES from the precomputed header state the
         # verifier supplies as a chain message at seq 1
         self.seq = 1
-        self.buf: list[Val] = [prog.const(v) for v in buffered]
+        # buffered header residues are SESSION data (they depend on the
+        # journal bytes) — route them through PUB rows, not immediates
+        self.buf: list[Val] = [prog.pub(v) for v in buffered]
         self.out_n = 0
         self.header_state = list(state)
         prog.chain_seeds.append((self.sid, 1, list(state)))
@@ -741,7 +768,10 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
         mult = entry[2] if len(entry) > 2 else -1
         fp = prog.const(tag)
         for i, pv in enumerate(payload):
-            fp = prog.mac(fp, int(pv) % P, challenges_vals[1 + i])
+            # payload values are session data (journal bytes, stream
+            # commitments) — PUB rows keep them out of the program/vk
+            fp = prog.mac(fp, prog.pub(int(pv) % P),
+                          challenges_vals[1 + i])
         term = prog.inv(prog.sub(challenges_vals[0], fp))
         if mult == 1:
             total = prog.add(total, term)
@@ -1028,19 +1058,61 @@ def outer_airs() -> list[Air]:
     return [VmAir(), Sponge16Air(), Sponge24Air()]
 
 
-def _outer_public_messages(prog: Prog) -> list[tuple]:
-    msgs = []
-    for pc, ins in enumerate(prog.instrs):
-        msgs.append((BUS_VM_INSTR, instr_payload(pc, ins), 1))
-    for sid, seq, state in prog.chain_seeds:
-        msgs.append((BUS_SP16_CHAIN, [sid, seq] + list(state), 1))
+@dataclass(frozen=True)
+class RecursionVK:
+    """The recursion verifying key: the inner shape plus the Merkle root
+    of the VM chip's PREPROCESSED program matrix.  A pure function of
+    (inner shape, message structure, configs) — never of session values —
+    so it is computed once at setup (recursion_vk) and reused; the wrap
+    circuit ultimately embeds exactly this root."""
+
+    shape: MachineShape
+    program_root: tuple
+    n_instrs: int
+    n_pubs: int
+
+    def to_bytes(self) -> bytes:
+        from ..core import cbor
+
+        return cbor.dumps({
+            "shape": self.shape.to_bytes(),
+            "root": list(self.program_root),
+            "ni": self.n_instrs, "np": self.n_pubs})
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "RecursionVK":
+        from ..core import cbor
+
+        obj = cbor.loads(data)
+        return cls(shape=MachineShape.from_bytes(obj["shape"]),
+                   program_root=tuple(obj["root"]),
+                   n_instrs=obj["ni"], n_pubs=obj["np"])
+
+
+def _session_messages(shape: MachineShape, binding: bytes,
+                      public_messages: list[tuple] | None) -> list[tuple]:
+    """The verifier-side bus messages of the OUTER proof, computable in
+    O(|binding| + |messages|) without touching the program: the
+    challenger chain seed (the post-header sponge state) and one
+    (BUS_VM_PUB, k, value) message per session input, in the exact order
+    build_program emits PUB rows (header residues, then message payload
+    values)."""
+    hch = Challenger()
+    _observe_header(hch, binding,
+                    [(n, l, list(p)) for n, l, p in shape.chips])
+    pubs = [v % P for v in hch.input_buf]
+    for entry in (public_messages or []):
+        pubs.extend(int(v) % P for v in entry[1])
+    msgs = [(BUS_SP16_CHAIN, [1, 1] + [v % P for v in hch.state], 1)]
+    msgs += [(BUS_VM_PUB, [k, v], 1) for k, v in enumerate(pubs)]
     return msgs
 
 
 def _outer_chips(prog: Prog):
     values = {idx: v.c for idx, v in prog.vals.items()}
     vtrace, _ = vm_trace(prog.instrs, values)
-    chips = [ChipInstance(air=VmAir(), trace=vtrace, publics=[])]
+    chips = [ChipInstance(air=VmAir(), trace=vtrace, publics=[],
+                          preprocessed=vm_preprocessed(prog.instrs))]
     for w, air in ((16, Sponge16Air()), (24, Sponge24Air())):
         rows = [r for r, _pos in prog.sp_rows[w]]
         # an unused width proves an all-dead trace (live = 0 everywhere;
@@ -1050,14 +1122,46 @@ def _outer_chips(prog: Prog):
     return chips
 
 
+def _vk_from_prog(prog: Prog, shape: MachineShape,
+                  outer_config: StarkConfig) -> RecursionVK:
+    pre = vm_preprocessed(prog.instrs)
+    log_n_vm = pre.shape[0].bit_length() - 1
+    heights = [log_n_vm]
+    for w, air in ((16, Sponge16Air()), (24, Sponge24Air())):
+        n_real = max(len(prog.sp_rows[w]), 1)
+        heights.append(max(4, (n_real - 1).bit_length()))
+    root = preprocessed_root(VmAir(), pre, max(heights), log_n_vm,
+                             outer_config)
+    return RecursionVK(shape=shape, program_root=tuple(root),
+                       n_instrs=len(prog.instrs),
+                       n_pubs=len(prog.pub_values))
+
+
+def recursion_vk(airs: list[Air], shape: MachineShape,
+                 binding: bytes = b"",
+                 public_message_structure: list[tuple] | None = None,
+                 inner_config: StarkConfig = DEFAULT_CONFIG,
+                 outer_config: StarkConfig | None = None) -> RecursionVK:
+    """Setup: build the (session-value-independent) program for this
+    inner shape/message structure and commit it.  Session VALUES never
+    reach the program (PUB rows); `binding` matters only through its
+    LENGTH (it sets the header-residue pub count), so any representative
+    binding of the session's journal length yields the same vk."""
+    prog = build_program(airs, shape, binding,
+                         public_message_structure or [],
+                         inner_config, proof=None)
+    return _vk_from_prog(prog, shape, outer_config or inner_config)
+
+
 def recursion_prove(airs: list[Air], proof: MachineProof, binding: bytes,
                     public_messages: list[tuple] | None = None,
                     inner_config: StarkConfig = DEFAULT_CONFIG,
                     outer_config: StarkConfig | None = None,
                     timings: dict | None = None):
     """Compress: prove "I verified this machine proof" as ONE machine
-    proof over (VmAir, Sponge16Air, Sponge24Air).  Returns
-    (shape, outer_proof)."""
+    proof over (VmAir, Sponge16Air, Sponge24Air) with the program in the
+    VM chip's vk-committed preprocessed columns.  Returns
+    (vk, outer_proof)."""
     shape = MachineShape.of(proof)
     prog = build_program(airs, shape, binding,
                          public_messages or [], inner_config,
@@ -1067,21 +1171,29 @@ def recursion_prove(airs: list[Air], proof: MachineProof, binding: bytes,
     outer = prove_machine(
         chips, binding=outer_binding,
         config=outer_config or inner_config, timings=timings)
-    return shape, outer
+    vk = _vk_from_prog(prog, shape, outer_config or inner_config)
+    return vk, outer
 
 
-def recursion_verify(airs: list[Air], shape: MachineShape,
-                     outer_proof: MachineProof, binding: bytes,
+def recursion_verify(airs: list[Air], shape, outer_proof: MachineProof,
+                     binding: bytes,
                      public_messages: list[tuple] | None = None,
                      inner_config: StarkConfig = DEFAULT_CONFIG,
                      outer_config: StarkConfig | None = None) -> bool:
-    """Verify the compress layer: rebuild the program from the public
-    (shape, binding, messages) and check the outer machine proof against
-    the program's bus messages."""
-    prog = build_program(airs, shape, binding, public_messages or [],
-                         inner_config, proof=None)
-    outer_binding = binding + shape.to_bytes()
+    """Verify the compress layer.  `shape` may be a RecursionVK (fast
+    path: O(outer proof) — the program is NEVER rebuilt, its commitment
+    root comes from the vk) or a bare MachineShape (setup path: the
+    program is rebuilt once to derive the vk, then verified the same
+    way)."""
+    if isinstance(shape, RecursionVK):
+        vk = shape
+    else:
+        vk = recursion_vk(airs, shape, binding, public_messages,
+                          inner_config, outer_config)
+    outer_binding = binding + vk.shape.to_bytes()
+    msgs = _session_messages(vk.shape, binding, public_messages)
     return verify_machine(
         outer_airs(), outer_proof, binding=outer_binding,
-        public_messages=_outer_public_messages(prog),
-        config=outer_config or inner_config)
+        public_messages=msgs,
+        config=outer_config or inner_config,
+        preprocessed_roots={"VmAir": list(vk.program_root)})

@@ -177,6 +177,35 @@ def test_forged_witness_rejected_by_outer_verifier(inner):
             preprocessed_roots={"VmAir": list(vk.program_root)})
 
 
+def test_trusted_vk_cache(inner, tmp_path):
+    """The verifier derives the program root itself and caches it — a
+    prover-supplied root is never trusted.  Second lookup hits the disk
+    cache; a cache entry for a different shape is ignored."""
+    from zktls_tpu.stark.recursion import recursion_vk, trusted_vk
+
+    airs, proof = inner
+    shape = MachineShape.of(proof)
+    vk1 = trusted_vk(airs, shape, b"fib-recursion", [],
+                     inner_config=INNER_CFG, outer_config=OUTER_CFG,
+                     cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("rvk-*.bin"))
+    assert len(files) == 1
+    direct = recursion_vk(airs, shape, b"fib-recursion", [],
+                          inner_config=INNER_CFG, outer_config=OUTER_CFG)
+    assert vk1.program_root == direct.program_root
+    # cache hit: corrupting the stored bytes for a DIFFERENT shape check
+    vk2 = trusted_vk(airs, shape, b"fib-recursion", [],
+                     inner_config=INNER_CFG, outer_config=OUTER_CFG,
+                     cache_dir=str(tmp_path))
+    assert vk2 == vk1
+    # corrupt entry → rebuilt, not trusted
+    files[0].write_bytes(b"garbage")
+    vk3 = trusted_vk(airs, shape, b"fib-recursion", [],
+                     inner_config=INNER_CFG, outer_config=OUTER_CFG,
+                     cache_dir=str(tmp_path))
+    assert vk3.program_root == vk1.program_root
+
+
 @pytest.mark.skipif(not __import__("os").environ.get("ZKTLS_SLOW_TESTS"),
                     reason="full-scale program build is ~4 min + ~6 GB; "
                            "set ZKTLS_SLOW_TESTS=1")

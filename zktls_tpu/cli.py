@@ -89,6 +89,15 @@ def cmd_prove(args) -> int:
         prover = StarkGuestProver()
 
     output, proof = prover.prove(guest_input)
+    if getattr(args, "compress", False) and proof:
+        if not hasattr(prover, "compress"):
+            print("error: --compress needs the stark prover",
+                  file=sys.stderr)
+            return 2
+        log.info("compressing: proving the verifier-VM recursion layer")
+        proof = prover.compress(output, proof)
+        assert prover.verify_compressed(output, proof)
+        log.info("compressed proof verified (vk fast path)")
     print(f"output: 0x{output.hex()}")
     print(f"proof: 0x{proof.hex()}")
     if args.output:
@@ -152,6 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "(env: ZKTLS_PROVER_SERVER)")
     pr.add_argument("--fixture", help="recorded session CBOR to replay "
                     "(offline mode; otherwise a live TLS call is recorded)")
+    pr.add_argument("--compress", action="store_true",
+                    help="wrap the machine proof in the recursion layer "
+                    "(verifier-VM proof, O(queries) verification against "
+                    "the program vk)")
     pr.add_argument("-o", "--output", help="write journal+proof JSON here")
     pr.set_defaults(func=cmd_prove)
 

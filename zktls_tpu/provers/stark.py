@@ -405,33 +405,40 @@ class StarkGuestProver:
                  outer_config: StarkConfig | None = None,
                  timings: dict | None = None) -> bytes:
         """Wrap a machine proof in a recursion proof: the verifier-VM
-        machine (VmAir + sponge chips) verifies it in-circuit.  Returns a
-        self-describing blob {shape, proof}; verify with
+        machine (VmAir + sponge chips, program in vk-committed
+        preprocessed columns) verifies it in-circuit.  Returns a
+        self-describing blob {vk, proof}; verify with
         `verify_compressed(journal, blob)`."""
         from ..core import cbor
-        from ..stark.recursion import MachineShape, recursion_prove
+        from ..stark.recursion import recursion_prove
 
         mp = MachineProof.from_bytes(proof)
-        shape, outer = recursion_prove(
+        vk, outer = recursion_prove(
             journal_airs(journal, mp), mp, journal,
             public_messages=journal_public_messages(journal),
             inner_config=self.config,
             outer_config=outer_config or self.config,
             timings=timings)
-        return cbor.dumps({"shape": shape.to_bytes(),
+        return cbor.dumps({"vk": vk.to_bytes(),
                            "proof": outer.to_bytes()})
 
     def verify_compressed(self, journal: bytes, blob: bytes,
                           outer_config: StarkConfig | None = None) -> bool:
-        """Verify a compressed (recursion) proof: rebuilds the verifier
-        program from (journal, shape) and checks the outer machine proof
-        — journal-bound exactly like the direct verify."""
+        """Verify a compressed (recursion) proof.  The blob's vk is used
+        only as a SHAPE carrier: the program root is re-derived locally
+        (once per statement geometry, then disk-cached — recursion.
+        trusted_vk), so a forged program can never smuggle in its own
+        root.  Verification is then O(outer proof)."""
         from ..core import cbor
-        from ..stark.recursion import MachineShape, recursion_verify
+        from ..stark.recursion import (
+            RecursionVK,
+            recursion_verify,
+            trusted_vk,
+        )
         from ..stark.verifier import VerificationError
 
         obj = cbor.loads(blob)
-        shape = MachineShape.from_bytes(obj["shape"])
+        shape = RecursionVK.from_bytes(obj["vk"]).shape
         # required-chip policy matches the direct path: the shape's chip
         # set must satisfy the journal's requirements
         names = {n for n, _l, _p in shape.chips}
@@ -445,9 +452,13 @@ class StarkGuestProver:
             chips = [type("C", (), {"name": n})() for n in names]
 
         journal_airs(journal, _P())   # raises if required chips missing
+        msgs = journal_public_messages(journal)
+        vk = trusted_vk(airs, shape, journal, msgs,
+                        inner_config=self.config,
+                        outer_config=outer_config or self.config)
         return recursion_verify(
-            airs, shape, MachineProof.from_bytes(obj["proof"]), journal,
-            public_messages=journal_public_messages(journal),
+            airs, vk, MachineProof.from_bytes(obj["proof"]), journal,
+            public_messages=msgs,
             inner_config=self.config,
             outer_config=outer_config or self.config)
 

@@ -64,8 +64,8 @@ from .machine import (
 from .verifier import VerificationError
 
 __all__ = ["MachineShape", "RecursionVK", "recursion_prove",
-           "recursion_verify", "recursion_vk", "build_program",
-           "outer_airs"]
+           "recursion_verify", "recursion_vk", "trusted_vk",
+           "build_program", "outer_airs"]
 
 _X = Fp4(0, 1, 0, 0)
 _EXT_BASIS = [Fp4(1), Fp4(0, 1), Fp4(0, 0, 1), Fp4(0, 0, 0, 1)]
@@ -1151,6 +1151,51 @@ def recursion_vk(airs: list[Air], shape: MachineShape,
                          public_message_structure or [],
                          inner_config, proof=None)
     return _vk_from_prog(prog, shape, outer_config or inner_config)
+
+
+def trusted_vk(airs: list[Air], shape: MachineShape, binding: bytes,
+               public_messages: list[tuple] | None = None,
+               inner_config: StarkConfig = DEFAULT_CONFIG,
+               outer_config: StarkConfig | None = None,
+               cache_dir: str | None = None) -> RecursionVK:
+    """The VERIFIER's vk for this statement geometry, from a local trust
+    cache: a prover-supplied program root is never trusted — the verifier
+    derives the root itself once per (shape, message structure, configs,
+    binding length) and caches it (the cache dir mirrors the reference's
+    artifact cache `$HOME/.local/zktlsd`, utils.rs:23-30)."""
+    import hashlib
+    import os
+    import pathlib
+
+    h = hashlib.sha256()
+    h.update(shape.to_bytes())
+    h.update(len(binding).to_bytes(8, "big"))
+    for entry in (public_messages or []):
+        mult = entry[2] if len(entry) > 2 else -1
+        h.update(b"%d:%d:%d;" % (entry[0], len(entry[1]), mult))
+    for cfg in (inner_config, outer_config or inner_config):
+        h.update(repr((cfg.log_blowup, cfg.num_queries, cfg.pow_bits,
+                       cfg.shift, cfg.fri_final_size)).encode())
+    key = h.hexdigest()
+    base = pathlib.Path(cache_dir or os.environ.get(
+        "ZKTLS_VK_CACHE",
+        os.path.join(os.path.expanduser("~"), ".local", "zktlsd", "vk")))
+    path = base / f"rvk-{key}.bin"
+    if path.exists():
+        try:
+            vk = RecursionVK.from_bytes(path.read_bytes())
+            if vk.shape == shape:
+                return vk
+        except Exception:
+            pass   # corrupt cache entry: rebuild below
+    vk = recursion_vk(airs, shape, binding, public_messages,
+                      inner_config, outer_config)
+    try:
+        base.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(vk.to_bytes())
+    except OSError:
+        pass   # read-only cache dir: still return the derived vk
+    return vk
 
 
 def recursion_prove(airs: list[Air], proof: MachineProof, binding: bytes,

@@ -3,27 +3,42 @@ over bus-bound application-stream bytes.
 
 The reference's journal hashes are keccak256 over alloy primitives
 (SURVEY.md §2.3; risc0 ships a dedicated keccak accelerator circuit,
-§2.2.C) — previously unproven native computation (VERDICT round-2
-missing #6).  This chip closes the loop: the GCM data chip sends every
-decrypted application-stream plaintext byte (BUS_HASH_BYTE: obj, dir,
-pos, byte — request bytes dir 0, response bytes dir 1, positions assigned
-by the stream parser), the chip absorbs them in order into Keccak-f[1600],
-applies pad10*1 IN-AIR, and publishes keccak256(stream)
-(BUS_HASH_RESULT: obj, dir, digest) which the verifier matches against
-the journal's request_hash / response_hash.  Claiming a hash of anything
-but the exact decrypted bytes breaks the global bus balance.
+§2.2.C).  The GCM data chip sends every decrypted application-stream
+plaintext byte (BUS_HASH_BYTE: obj, dir, pos, byte), the chip absorbs
+them in order into Keccak-f[1600], applies pad10*1 IN-AIR, and publishes
+keccak256(stream) (BUS_HASH_RESULT: obj, dir, digest) which the verifier
+matches against the journal's request_hash / response_hash.  Claiming a
+hash of anything but the exact decrypted bytes breaks the global bus
+balance.
 
-Layout: 256-row groups, one group per 136-byte rate block:
-  rows 0..16    lane rows — lane ℓ absorbs 8 bytes (per-byte consume
-                gates; ungated tail bytes are the pad10*1 padding,
-                value-constrained in-AIR); the state changes one lane per
-                row
-  rows 17..40   the 24 Keccak-f rounds, one per row: θ via 5-bit parity
-                decompositions, ρ/π by re-indexing, χ through a
-                materialized and-plane W, ι from periodic round-constant
-                bit columns
-  rows 41..255  idle (state carried; a final block publishes its digest
-                at row 41)
+Round-5 width redesign (the r4 chip was 5,903 columns × 256-row groups —
+the machine's widest chip by 7× and the dominant term in the recursion
+bill O(W·Q)):
+
+  * ONE shared 1600-bit plane group `PL`, time-multiplexed: on lane and
+    state rows it holds the state A, on θ-rows it holds the post-θ plane
+    T — two rows per round instead of one wide row;
+  * the χ and-plane W (1,600 cols) is GONE: χ is evaluated directly as a
+    degree-3 expression in T bits, riding the full degree-5 budget that
+    blowup 4 admits (folded degree 5(n−1) still divides into 4 quotient
+    chunks of degree < n);
+  * the θ parity carries q0/q1 (640 cols) are GONE: the column sum obeys
+    the cubic (Σ−C)(Σ−C−2)(Σ−C−4) = 0 with C boolean;
+  * the ι staging lane ch00 (64 cols) is GONE: the round-constant xor
+    folds into the χ transition via the periodic rc patterns, which are
+    supported only on θ-rows.
+
+1,999 columns × 128-row groups — ~5.9× fewer trace cells per block.
+
+Layout: 128-row groups, one group per 136-byte rate block:
+  rows 0..16     lane rows — lane ℓ absorbs 8 bytes (per-byte consume
+                 gates; ungated tail bytes are the pad10*1 padding,
+                 value-constrained in-AIR); PL changes one lane per row
+  rows 17..64    the 24 rounds, TWO rows each: row 17+2r holds T_r
+                 (post-θ of A_r), row 18+2r holds A_{r+1} = χι(T_r);
+                 C parities are committed on the A-rows {16, 18, …, 62}
+  row 64         the final state; a final block publishes its digest here
+  rows 65..127   idle (state carried)
 
 Streams are group runs (register semantics like the parser's regions):
 sg starts a stream from the zero state, fin marks its final block.  Dead
@@ -48,9 +63,10 @@ __all__ = ["KeccakAir", "keccak_trace", "keccak256_ref", "GROUP_ROWS",
            "RATE"]
 
 P = 2013265921
-GROUP_ROWS = 256
+GROUP_ROWS = 128
 RATE = 136
 N_ROUNDS = 24
+_ROW_FINAL = 17 + 2 * N_ROUNDS - 1   # 64: the A_24 row
 
 _RC = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
@@ -122,13 +138,9 @@ def _build_layout() -> _Layout:
     L.add("blkc")      # block index within the stream (group-constant)
     L.add("g", 8)      # lane-row byte-consumed gates
     L.add("lb", 64)    # lane-row absorbed bits (8 bytes, LSB-first each)
-    L.add("A", 1600)   # state bits (value AFTER this row's action)
-    L.add("C", 320)    # θ column parities
-    L.add("q0", 320)   # parity decomposition bits
-    L.add("q1", 320)
-    L.add("T", 1600)   # post-θ plane
-    L.add("W", 1600)   # χ and-plane: (1 − B[x+1][y][z]) · B[x+2][y][z]
-    L.add("ch00", 64)  # lane (0,0) χ output (ι needs a linear operand)
+    L.add("PL", 1600)  # the multiplexed plane: A on lane/A-rows, T on
+    #                    θ-rows (value AFTER this row's action)
+    L.add("C", 320)    # θ column parities (A-feed rows only)
     return L
 
 
@@ -149,27 +161,31 @@ class KeccakAir(Air):
         p_row0 = z.copy(); p_row0[0] = 1
         p_lane = z.copy(); p_lane[0:17] = 1
         p_lane_nl = z.copy(); p_lane_nl[0:16] = 1    # next row is lane 1..16
-        p_lane16 = z.copy(); p_lane16[16] = 1
-        p_round = z.copy(); p_round[17:41] = 1
-        p_res = z.copy(); p_res[41] = 1
-        p_last = z.copy(); p_last[255] = 1
-        p_idle = z.copy(); p_idle[41:255] = 1
+        p_afeed = z.copy()                           # A-rows feeding a θ-row
+        p_afeed[16:_ROW_FINAL:2] = 1                 # 16, 18, …, 62
+        p_theta = z.copy()                           # θ-rows (T planes)
+        p_theta[17:_ROW_FINAL:2] = 1                 # 17, 19, …, 63
+        p_res = z.copy(); p_res[_ROW_FINAL] = 1
+        p_last = z.copy(); p_last[GROUP_ROWS - 1] = 1
+        p_idle = z.copy(); p_idle[_ROW_FINAL:GROUP_ROWS - 1] = 1
         lanev = z.copy(); lanev[0:17] = np.arange(17, dtype=np.uint32)
         lsel = np.zeros((17, GROUP_ROWS), dtype=np.uint32)
         for ell in range(17):
             lsel[ell, ell] = 1
+        # round-constant bits, supported ON the θ-rows (the χ transition's
+        # local row), so ι needs no extra gating
         rcbit = np.zeros((64, GROUP_ROWS), dtype=np.uint32)
         for rr in range(N_ROUNDS):
             for zz in range(64):
-                rcbit[zz, 17 + rr] = (_RC[rr] >> zz) & 1
-        return ([p_row0, p_lane, p_lane_nl, p_lane16, p_round, p_res,
+                rcbit[zz, 17 + 2 * rr] = (_RC[rr] >> zz) & 1
+        return ([p_row0, p_lane, p_lane_nl, p_afeed, p_theta, p_res,
                  p_last, p_idle, lanev] + list(lsel) + list(rcbit))
 
     # ------------------------------------------------------------------
 
     def eval(self, b: AirBuilder) -> None:
         L = LAYOUT
-        (p_row0, p_lane, p_lane_nl, p_lane16, p_round, p_res, p_last,
+        (p_row0, p_lane, p_lane_nl, p_afeed, p_theta, p_res, p_last,
          p_idle, lanev) = b.periodic[:9]
         lsel = b.periodic[9:26]
         rcbit = b.periodic[26:90]
@@ -182,8 +198,8 @@ class KeccakAir(Air):
 
         def Aslice(k, nxt=False):
             src = b.next_group if nxt else b.local_group
-            return src(slice(L["A"].start + 64 * k,
-                             L["A"].start + 64 * k + 64))
+            return src(slice(L["PL"].start + 64 * k,
+                             L["PL"].start + 64 * k + 64))
 
         tr = b.is_transition
         live, sg, fin, cont = c("live"), c("sg"), c("fin"), c("cont")
@@ -192,18 +208,13 @@ class KeccakAir(Air):
         b.assert_zero(cont - (1 - sg) * live)
         G8 = b.local_group(L["g"])
         LB = b.local_group(L["lb"])
-        A = b.local_group(L["A"])
-        NA = b.next_group(L["A"])
+        A = b.local_group(L["PL"])
+        NA = b.next_group(L["PL"])
+        CC = b.local_group(L["C"])
         b.assert_zero_vec(G8 * (G8 - 1), 8)
         b.assert_zero_vec(LB * (LB - 1), 64)
         b.assert_zero_vec(A * (A - 1), 1600)
-        b.assert_zero_vec(b.local_group(L["q0"])
-                          * (b.local_group(L["q0"]) - 1), 320)
-        b.assert_zero_vec(b.local_group(L["q1"])
-                          * (b.local_group(L["q1"]) - 1), 320)
-        # C must be boolean or the parity decomposition is ambiguous
-        b.assert_zero_vec(b.local_group(L["C"])
-                          * (b.local_group(L["C"]) - 1), 320)
+        b.assert_zero_vec(CC * (CC - 1), 320)
         b.assert_zero_vec((1 - live) * G8, 8)
 
         # --- group/stream structure ---
@@ -222,10 +233,8 @@ class KeccakAir(Air):
                       * (n("obj") - c("obj")))
         b.assert_zero(tr * p_last * n("cont")
                       * (n("dirs") - c("dirs")))
-        # a continuation group's predecessor must not be final and must
-        # exist: covered by the fin/sg pairing rules above
 
-        # --- state transitions ---
+        # --- absorption rows ---
         # stream start: the group's row 0 = lane 0 absorbed into zero
         b.assert_zero_vec(p_row0 * sg * (Aslice(0) - LB), 64)
         for k in range(1, 25):
@@ -237,17 +246,17 @@ class KeccakAir(Air):
                 tr * lsel[ell - 1] * (Aslice(ell, nxt=True) - Aslice(ell)
                                       - NLB + 2 * (Aslice(ell) * NLB)), 64)
         for k in range(25):
-            # hold on transitions into lane rows other than k, and into
-            # row 17 (p_lane16 marks the 16 → 17 transition)
+            # hold on transitions into lane rows other than k (the 16→17
+            # transition WRITES the first θ plane, so no hold there)
             if 1 <= k <= 16:
-                gate = p_lane_nl - lsel[k - 1] + p_lane16
+                gate = p_lane_nl - lsel[k - 1]
             else:
-                gate = p_lane_nl + p_lane16
+                gate = p_lane_nl
             b.assert_zero_vec(tr * gate * (Aslice(k, nxt=True) - Aslice(k)),
                               64)
-        # idle carry (rows 41..254)
+        # idle carry (rows 64..126)
         b.assert_zero_vec(tr * p_idle * (NA - A), 1600)
-        # cross-group continuation: row 255 → row 0 absorbs lane 0 into
+        # cross-group continuation: row 127 → row 0 absorbs lane 0 into
         # the carried state
         NLB0 = b.next_group(L["lb"])
         b.assert_zero_vec(
@@ -285,19 +294,17 @@ class KeccakAir(Air):
                       * (byte_expr(0, nxt=True)
                          - (c("g", 7) - n("g", 0))))
 
-        # --- θ: column parities and the T plane (defined every row) ---
+        # --- θ: column parities (cubic carry) + the T transition ---
         for x in range(5):
             Cx = b.local_group(slice(L["C"].start + 64 * x,
                                      L["C"].start + 64 * x + 64))
-            q0x = b.local_group(slice(L["q0"].start + 64 * x,
-                                      L["q0"].start + 64 * x + 64))
-            q1x = b.local_group(slice(L["q1"].start + 64 * x,
-                                      L["q1"].start + 64 * x + 64))
             total = None
             for y in range(5):
                 Ay = Aslice(_lane(x, y))
                 total = Ay if total is None else total + Ay
-            b.assert_zero_vec(total - Cx - 2 * q0x - 4 * q1x, 64)
+            # Σ ∈ {0..5}, parity C boolean ⇒ Σ − C ∈ {0, 2, 4}
+            d = total - Cx
+            b.assert_zero_vec(p_afeed * (d * (d - 2) * (d - 4)), 64)
         for x in range(5):
             Cm = b.local_group(slice(L["C"].start + 64 * ((x - 1) % 5),
                                      L["C"].start + 64 * ((x - 1) % 5) + 64))
@@ -307,39 +314,33 @@ class KeccakAir(Air):
             D = Cm + Cp1 - 2 * (Cm * Cp1)
             for y in range(5):
                 k = _lane(x, y)
-                Ty = b.local_group(slice(L["T"].start + 64 * k,
-                                         L["T"].start + 64 * k + 64))
                 Ay = Aslice(k)
-                b.assert_zero_vec(Ty - Ay - D + 2 * (Ay * D), 64)
+                # next row (a θ-row) holds T = A ⊕ D
+                b.assert_zero_vec(
+                    tr * p_afeed * (Aslice(k, nxt=True) - Ay - D
+                                    + 2 * (Ay * D)), 64)
 
-        # --- χ and-plane + round output ---
+        # --- χ + ι: θ-row T → next-row state, degree-3 in T bits ---
         def Bbit(i):
-            return b.local[L["T"].start + _B_SRC[i]]
+            return b.local[L["PL"].start + _B_SRC[i]]
 
-        for x in range(5):
-            for y in range(5):
-                for zz in range(64):
-                    i = _bit(x, y, zz)
-                    w_i = b.local[L["W"].start + i]
-                    b1 = Bbit(_bit((x + 1) % 5, y, zz))
-                    b2 = Bbit(_bit((x + 2) % 5, y, zz))
-                    b.assert_zero(w_i - b2 + b1 * b2)
         for k in range(25):
             for zz in range(64):
                 i = 64 * k + zz
                 bb = Bbit(i)
-                ww = b.local[L["W"].start + i]
-                chi = bb + ww - 2 * (bb * ww)
+                b2 = Bbit(_bit((k % 5 + 2) % 5, k // 5, zz))
+                b1 = Bbit(_bit((k % 5 + 1) % 5, k // 5, zz))
+                w = b2 - b1 * b2
+                chi = bb + w - 2 * (bb * w)
+                nxt_bit = b.next[L["PL"].start + i]
                 if k == 0:
-                    ch0 = b.local[L["ch00"].start + zz]
-                    b.assert_zero(ch0 - chi)
+                    # ι folds in via the rc patterns (supported only on
+                    # θ-rows): A' = chi ⊕ rc
                     rc = rcbit[zz]
-                    b.assert_zero(tr * p_round * (
-                        b.next[L["A"].start + zz] - ch0 - rc
-                        + 2 * (ch0 * rc)))
+                    b.assert_zero(tr * (p_theta * (nxt_bit - chi)
+                                        - rc * (1 - 2 * chi)))
                 else:
-                    b.assert_zero(tr * p_round * (
-                        b.next[L["A"].start + i] - chi))
+                    b.assert_zero(tr * p_theta * (nxt_bit - chi))
 
         # --- bus ---
         gamma = b.challenges[0]
@@ -360,12 +361,12 @@ class KeccakAir(Air):
                   + dpow(1) * c("dirs"))
         for ell in range(16):
             hi = b.dot_const(
-                b.local_group(slice(L["A"].start + 8 * (2 * ell),
-                                    L["A"].start + 8 * (2 * ell) + 8)),
+                b.local_group(slice(L["PL"].start + 8 * (2 * ell),
+                                    L["PL"].start + 8 * (2 * ell) + 8)),
                 [1 << i for i in range(8)])
             lo = b.dot_const(
-                b.local_group(slice(L["A"].start + 8 * (2 * ell + 1),
-                                    L["A"].start + 8 * (2 * ell + 1) + 8)),
+                b.local_group(slice(L["PL"].start + 8 * (2 * ell + 1),
+                                    L["PL"].start + 8 * (2 * ell + 1) + 8)),
                 [1 << i for i in range(8)])
             fp_res = fp_res + dpow(2 + ell) * (hi * 256 + lo)
         iv_res = b.perm_ext(8)
@@ -394,7 +395,7 @@ class KeccakAir(Air):
         r = np.arange(nrows)
         rowm = r % GROUP_ROWS
         p_lane = (rowm < 17).astype(np.uint64)
-        p_res = (rowm == 41).astype(np.uint64)
+        p_res = (rowm == _ROW_FINAL).astype(np.uint64)
         lanev = np.where(rowm < 17, rowm, 0).astype(np.uint64)
         POW8 = np.array([1 << i for i in range(8)], dtype=np.uint64)
         lb = main[:, L["lb"]].astype(np.uint64)
@@ -410,7 +411,7 @@ class KeccakAir(Air):
             u = (u + P * np.ones_like(u)
                  - iv.astype(np.uint64) * (col("g", j) * p_lane)[:, None]
                  ) % P
-        Ab = main[:, L["A"]].astype(np.uint64)
+        Ab = main[:, L["PL"]].astype(np.uint64)
         limbs = np.zeros((nrows, 16), dtype=np.uint64)
         for ell in range(16):
             hi = (Ab[:, 8 * (2 * ell): 8 * (2 * ell) + 8] * POW8).sum(axis=1)
@@ -433,26 +434,36 @@ class KeccakAir(Air):
 # ---------------------------------------------------------------------------
 
 
+def _rot(v: int, k: int) -> int:
+    return ((v << k) | (v >> (64 - k))) & (1 << 64) - 1
+
+
+def _theta_T(lanes: list[int]) -> list[int]:
+    """The post-θ plane of a state (lane order, pre-ρ/π)."""
+    C = [lanes[x] ^ lanes[x + 5] ^ lanes[x + 10] ^ lanes[x + 15]
+         ^ lanes[x + 20] for x in range(5)]
+    D = [C[(x - 1) % 5] ^ _rot(C[(x + 1) % 5], 1) for x in range(5)]
+    return [lanes[i] ^ D[i % 5] for i in range(25)]
+
+
+def _round_from_T(T: list[int], rnd: int) -> list[int]:
+    """ρ/π + χ + ι applied to a post-θ plane."""
+    B = [0] * 25
+    for x in range(5):
+        for y in range(5):
+            B[_lane(y, (2 * x + 3 * y) % 5)] = _rot(T[_lane(x, y)],
+                                                    _ROT[x][y])
+    A = [(B[i] ^ ((~B[(i % 5 + 1) % 5 + 5 * (i // 5)])
+                  & B[(i % 5 + 2) % 5 + 5 * (i // 5)])) & ((1 << 64) - 1)
+         for i in range(25)]
+    A[0] ^= _RC[rnd]
+    return A
+
+
 def _keccak_f(lanes: list[int]) -> list[int]:
     A = list(lanes)
-
-    def rot(v, k):
-        return ((v << k) | (v >> (64 - k))) & (1 << 64) - 1
-
     for rnd in range(N_ROUNDS):
-        C = [A[x] ^ A[x + 5] ^ A[x + 10] ^ A[x + 15] ^ A[x + 20]
-             for x in range(5)]
-        D = [C[(x - 1) % 5] ^ rot(C[(x + 1) % 5], 1) for x in range(5)]
-        A = [A[i] ^ D[i % 5] for i in range(25)]
-        B = [0] * 25
-        for x in range(5):
-            for y in range(5):
-                B[_lane(y, (2 * x + 3 * y) % 5)] = rot(A[_lane(x, y)],
-                                                       _ROT[x][y])
-        A = [B[i] ^ ((~B[(i % 5 + 1) % 5 + 5 * (i // 5)])
-                     & B[(i % 5 + 2) % 5 + 5 * (i // 5)]) & ((1 << 64) - 1)
-             for i in range(25)]
-        A[0] ^= _RC[rnd]
+        A = _round_from_T(_theta_T(A), rnd)
     return A
 
 
@@ -475,113 +486,44 @@ def keccak256_ref(data: bytes) -> bytes:
     return out
 
 
+_AFEED_ROWS = np.arange(16, _ROW_FINAL, 2)     # 16, 18, …, 62
 
-def _states_to_columns(states: np.ndarray, out: np.ndarray) -> None:
-    """Vectorized fill of A/C/q0/q1/T/W/ch00 for (n, 25) uint64 lane
-    snapshots into the (n, width) trace block `out`."""
+
+def _fill_planes(grp: np.ndarray, row_states: np.ndarray) -> None:
+    """Vectorized fill of PL (+ C on A-feed rows) for (128, 25) uint64
+    per-row plane snapshots (A or T per the row schedule)."""
     L = LAYOUT
-    n = states.shape[0]
+    nrow = row_states.shape[0]
     shifts = np.arange(64, dtype=np.uint64)
-    abits = ((states[:, :, None] >> shifts) & 1).astype(np.uint32)
-    out[:, L["A"]] = abits.reshape(n, 1600)
-    # θ parities
-    lanes_by_x = states.reshape(n, 5, 5)          # [n, y, x]
-    colsum = abits.reshape(n, 5, 5, 64).sum(axis=1)   # [n, x, 64]
+    bits = ((row_states[:, :, None] >> shifts) & 1).astype(np.uint32)
+    grp[:, L["PL"]] = bits.reshape(nrow, 1600)
+    # θ parities on the A-feed rows (these rows hold genuine states)
+    af = bits[_AFEED_ROWS].reshape(len(_AFEED_ROWS), 5, 5, 64)
+    colsum = af.sum(axis=1)                     # [rows, x, 64]
     cbit = (colsum & 1).astype(np.uint32)
-    q = (colsum >> 1).astype(np.uint32)
-    out[:, L["C"]] = cbit.reshape(n, 320)
-    out[:, L["q0"]] = (q & 1).reshape(n, 320)
-    out[:, L["q1"]] = ((q >> 1) & 1).reshape(n, 320)
-    # T = A ⊕ D over uint64 lanes
-    C64 = np.bitwise_xor.reduce(lanes_by_x, axis=1)   # [n, x]
-    rot1 = ((C64 << np.uint64(1)) | (C64 >> np.uint64(63)))
-    D = np.zeros_like(C64)
-    for x in range(5):
-        D[:, x] = C64[:, (x - 1) % 5] ^ rot1[:, (x + 1) % 5]
-    T64 = states ^ np.tile(D, 5)
-    tbits = ((T64[:, :, None] >> shifts) & 1).astype(np.uint32)
-    tflat = tbits.reshape(n, 1600)
-    out[:, L["T"]] = tflat
-    bflat = tflat[:, _B_SRC_ARR]
-    b1 = bflat[:, _CHI_B1]
-    b2 = bflat[:, _CHI_B2]
-    w = ((1 - b1) * b2).astype(np.uint32)
-    out[:, L["W"]] = w
-    out[:, L["ch00"]] = bflat[:, :64] ^ w[:, :64]
+    C_full = np.zeros((nrow, 320), dtype=np.uint32)
+    C_full[_AFEED_ROWS] = cbit.reshape(len(_AFEED_ROWS), 320)
+    grp[:, L["C"]] = C_full
 
 
-_B_SRC_ARR = np.array(_B_SRC, dtype=np.int64)
-_CHI_B1 = np.zeros(1600, dtype=np.int64)
-_CHI_B2 = np.zeros(1600, dtype=np.int64)
-for _x in range(5):
-    for _y in range(5):
-        for _z in range(64):
-            _i = _bit(_x, _y, _z)
-            _CHI_B1[_i] = _bit((_x + 1) % 5, _y, _z)
-            _CHI_B2[_i] = _bit((_x + 2) % 5, _y, _z)
-
-
-def _lanes_to_bits(lanes: list[int]) -> np.ndarray:
-    bits = np.zeros(1600, dtype=np.uint32)
-    for k in range(25):
-        v = lanes[k]
-        for z in range(64):
-            bits[64 * k + z] = (v >> z) & 1
-    return bits
-
-
-def _theta_planes(lanes: list[int]):
-    C = [lanes[x] ^ lanes[x + 5] ^ lanes[x + 10] ^ lanes[x + 15]
-         ^ lanes[x + 20] for x in range(5)]
-
-    def rot(v, k):
-        return ((v << k) | (v >> (64 - k))) & (1 << 64) - 1
-
-    D = [C[(x - 1) % 5] ^ rot(C[(x + 1) % 5], 1) for x in range(5)]
-    T = [lanes[i] ^ D[i % 5] for i in range(25)]
-    return C, T
-
-
-def _fill_theta_chi(row: np.ndarray, lanes: list[int]) -> None:
-    """Fill C/q0/q1/T/W/ch00 for the state `lanes` on one row."""
-    L = LAYOUT
-    C, T = _theta_planes(lanes)
-    for x in range(5):
-        colsum = [0] * 64
-        for y in range(5):
-            v = lanes[_lane(x, y)]
-            for z in range(64):
-                colsum[z] += (v >> z) & 1
-        for z in range(64):
-            s = colsum[z]
-            cbit = s & 1
-            q = (s - cbit) >> 1
-            row[L["C"].start + 64 * x + z] = cbit
-            row[L["q0"].start + 64 * x + z] = q & 1
-            row[L["q1"].start + 64 * x + z] = (q >> 1) & 1
-    tbits = np.zeros(1600, dtype=np.uint32)
-    for k in range(25):
-        v = T[k]
-        for z in range(64):
-            tbits[64 * k + z] = (v >> z) & 1
-    row[L["T"]] = tbits
-    # B plane + W + ch00
-    bbits = tbits[_B_SRC]
-    for x in range(5):
-        for y in range(5):
-            for z in range(64):
-                i = _bit(x, y, z)
-                b1 = bbits[_bit((x + 1) % 5, y, z)]
-                b2 = bbits[_bit((x + 2) % 5, y, z)]
-                row[L["W"].start + i] = (1 - b1) * b2
-    for z in range(64):
-        bb = bbits[z]
-        ww = row[L["W"].start + z]
-        row[L["ch00"].start + z] = bb ^ (ww & 1)
+def _block_states(lanes: list[int]) -> tuple[np.ndarray, list[int]]:
+    """The (128, 25) per-row plane schedule for one block, starting from
+    the fully absorbed state `lanes` at row 16.  Rows 0..15 are filled by
+    the caller (partial absorption).  Returns (states, final_lanes)."""
+    rs = np.zeros((GROUP_ROWS, 25), dtype=np.uint64)
+    state = list(lanes)
+    rs[16] = np.array(state, dtype=np.uint64)
+    for rr in range(N_ROUNDS):
+        T = _theta_T(state)
+        rs[17 + 2 * rr] = np.array(T, dtype=np.uint64)
+        state = _round_from_T(T, rr)
+        rs[18 + 2 * rr] = np.array(state, dtype=np.uint64)
+    rs[_ROW_FINAL + 1:] = np.array(state, dtype=np.uint64)[None, :]
+    return rs, state
 
 
 def keccak_trace(streams: list[tuple[int, int, bytes]],
-                 min_log_n: int = 8):
+                 min_log_n: int = 7):
     """streams: [(obj, dirs, data)] — one sponge per stream.  Returns
     (trace, [])."""
     L = LAYOUT
@@ -617,13 +559,9 @@ def keccak_trace(streams: list[tuple[int, int, bytes]],
                 lanes[ell] ^= int.from_bytes(blk[8 * ell : 8 * ell + 8],
                                              "little")
                 row_states[ell] = np.array(lanes, dtype=np.uint64)
-            state = list(lanes)
-            for rr in range(N_ROUNDS):
-                row_states[17 + rr] = np.array(state, dtype=np.uint64)
-                state = _keccak_f_round(state, rr)
-            lanes = state
-            row_states[41:] = np.array(lanes, dtype=np.uint64)[None, :]
-            _states_to_columns(row_states, grp)
+            rounds, lanes = _block_states(lanes)
+            row_states[16:] = rounds[16:]
+            _fill_planes(grp, row_states)
             groups.append(grp)
 
     if not groups:
@@ -635,34 +573,8 @@ def keccak_trace(streams: list[tuple[int, int, bytes]],
     if n > n_real:
         # dead groups: the empty absorption over the zero state
         dead = np.zeros((GROUP_ROWS, L.width), dtype=np.uint32)
-        row_states = np.zeros((GROUP_ROWS, 25), dtype=np.uint64)
-        state = [0] * 25
-        for rr in range(N_ROUNDS):
-            row_states[17 + rr] = np.array(state, dtype=np.uint64)
-            state = _keccak_f_round(state, rr)
-        row_states[41:] = np.array(state, dtype=np.uint64)[None, :]
-        _states_to_columns(row_states, dead)
+        row_states, _ = _block_states([0] * 25)
+        _fill_planes(dead, row_states)
         reps = (n - n_real) // GROUP_ROWS
         full = np.concatenate([full] + [dead] * reps, axis=0)
     return full, []
-
-
-def _keccak_f_round(lanes: list[int], rnd: int) -> list[int]:
-    def rot(v, k):
-        return ((v << k) | (v >> (64 - k))) & (1 << 64) - 1
-
-    A = list(lanes)
-    C = [A[x] ^ A[x + 5] ^ A[x + 10] ^ A[x + 15] ^ A[x + 20]
-         for x in range(5)]
-    D = [C[(x - 1) % 5] ^ rot(C[(x + 1) % 5], 1) for x in range(5)]
-    A = [A[i] ^ D[i % 5] for i in range(25)]
-    B = [0] * 25
-    for x in range(5):
-        for y in range(5):
-            B[_lane(y, (2 * x + 3 * y) % 5)] = rot(A[_lane(x, y)],
-                                                   _ROT[x][y])
-    A = [(B[i] ^ ((~B[(i % 5 + 1) % 5 + 5 * (i // 5)])
-                  & B[(i % 5 + 2) % 5 + 5 * (i // 5)])) & ((1 << 64) - 1)
-         for i in range(25)]
-    A[0] ^= _RC[rnd]
-    return A

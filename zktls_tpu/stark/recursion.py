@@ -63,8 +63,9 @@ from .machine import (
 )
 from .verifier import VerificationError
 
-__all__ = ["MachineShape", "RecursionVK", "recursion_prove",
-           "recursion_verify", "recursion_vk", "trusted_vk",
+__all__ = ["MachineShape", "RecursionVK", "RecursionVKBN",
+           "recursion_prove", "recursion_verify", "recursion_vk",
+           "recursion_prove_bn", "recursion_verify_bn", "trusted_vk",
            "build_program", "outer_airs"]
 
 _X = Fp4(0, 1, 0, 0)
@@ -611,7 +612,7 @@ def _eval_periodic_vm(prog: Prog, pattern, zeta_pows: dict, n: int):
 
 def _fold_constraints_vm(prog: Prog, air: Air, local, nxt, public, sels,
                          alpha: Val, periodic, perm_local, perm_next,
-                         challenge_limbs) -> Val:
+                         challenge_limbs, pre_local=(), pre_next=()) -> Val:
     acc = [prog.const(0)]
     apow = [prog.const(1)]
 
@@ -629,6 +630,7 @@ def _fold_constraints_vm(prog: Prog, air: Air, local, nxt, public, sels,
         _fold=fold, periodic=list(periodic),
         perm_local=list(perm_local), perm_next=list(perm_next),
         challenges=[ExtVal(*limbs) for limbs in challenge_limbs],
+        pre_local=list(pre_local), pre_next=list(pre_next),
         **scalar_vec_hooks(fold, lambda v: prog.const(v)),
     )
     air.eval(builder)
@@ -638,11 +640,18 @@ def _fold_constraints_vm(prog: Prog, air: Air, local, nxt, public, sels,
 def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
                   public_messages: list[tuple],
                   config: StarkConfig = DEFAULT_CONFIG,
-                  proof: MachineProof | None = None) -> Prog:
+                  proof: MachineProof | None = None,
+                  preprocessed_roots: dict[str, list[int]] | None = None,
+                  ) -> Prog:
     """Trace verify_machine into a program.  With `proof` (prover side)
     the interpreter fills concrete values and every assert is checked;
-    without it a shape-identical dummy runs (verifier-side rebuild)."""
+    without it a shape-identical dummy runs (verifier-side rebuild).
+    preprocessed_roots: the INNER machine's vk roots, for inner chips
+    with fixed columns (e.g. a compress-layer VmAir being re-verified by
+    the shrink layer) — they become program CONSTANTS, so the outer vk
+    commits to them."""
     strict = proof is not None
+    preprocessed_roots = preprocessed_roots or {}
     if proof is None:
         proof = _dummy_proof(airs, shape, config)
     prog = Prog(strict=strict)
@@ -665,10 +674,15 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
             raise VerificationError("chip domain below fri_final_size")
         k = log_N_max - log_N
         s_i = pow(config.shift, 1 << k, P)
+        ew = getattr(air, "preprocessed_width", 0)
+        if ew and cp.name not in preprocessed_roots:
+            raise VerificationError(
+                f"{cp.name}: inner vk missing preprocessed root")
         if len(cp.publics) != air.num_public or \
                 len(cp.tl) != air.width or len(cp.tn) != air.width or \
                 len(cp.pl) != air.perm_width or \
                 len(cp.pn) != air.perm_width or \
+                len(cp.el) != ew or len(cp.en) != ew or \
                 len(cp.qe) != 4 * config.blowup or \
                 (cp.perm_root is not None) != bool(air.perm_width) or \
                 len(cp.bus_sum) != 4:
@@ -678,7 +692,8 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
     # --- precompute the post-header challenger state (all constants) ---
     hch = Challenger()
     _observe_header(hch, binding,
-                    [(cp.name, cp.log_n, cp.publics)
+                    [(cp.name, cp.log_n, cp.publics,
+                      preprocessed_roots.get(cp.name))
                      for cp in proof.chips])
     ch = _ProgChallenger(prog, hch.state, [v % P for v in hch.input_buf])
 
@@ -721,7 +736,7 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
     evals = {}
     for cp in proof.chips:
         ev = {}
-        for key in ("tl", "tn", "pl", "pn", "qe"):
+        for key in ("tl", "tn", "pl", "pn", "qe", "el", "en"):
             rows = []
             for v in getattr(cp, key):
                 limbs = wit_many(v.c)
@@ -817,7 +832,9 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
             [v for _l, v in ev["tl"]], [v for _l, v in ev["tn"]],
             publics_full, sels, alpha, periodic_at_zeta,
             [v for _l, v in ev["pl"]], [v for _l, v in ev["pn"]],
-            chal_limbs)
+            chal_limbs,
+            pre_local=[v for _l, v in ev["el"]],
+            pre_next=[v for _l, v in ev["en"]])
         zeta_n = zeta_pow(n)
         q_at = prog.const(0)
         zpow = prog.const(1)
@@ -835,24 +852,28 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
     total_terms = 0
     offs = {}
     for cp, air, n, log_N, s_i in geo:
-        w_z = air.width + air.perm_width + 4 * config.blowup
-        w_gz = air.width + air.perm_width
+        ew = getattr(air, "preprocessed_width", 0)
+        w_z = air.width + ew + air.perm_width + 4 * config.blowup
+        w_gz = air.width + ew + air.perm_width
         offs[cp.name] = (total_terms, w_z, w_gz)
         total_terms += w_z + w_gz
     bpows = _pow_chain(prog, beta, total_terms + 1)
-    # per-chip eval-side β-sums (query-independent)
+    # per-chip eval-side β-sums (query-independent); DEEP column order
+    # matches the machine prover: [trace ‖ pre ‖ perm ‖ quotient] at ζ,
+    # [trace ‖ pre ‖ perm] at g·ζ
     ev_sums = {}
     beta_acc_consts = {}
     for cp, air, n, log_N, s_i in geo:
         off, w_z, w_gz = offs[cp.name]
         ev = evals[cp.name]
         sz = prog.const(0)
-        vec_z = ([v for _l, v in ev["tl"]] + [v for _l, v in ev["pl"]]
-                 + [v for _l, v in ev["qe"]])
+        vec_z = ([v for _l, v in ev["tl"]] + [v for _l, v in ev["el"]]
+                 + [v for _l, v in ev["pl"]] + [v for _l, v in ev["qe"]])
         for i, v in enumerate(vec_z):
             sz = prog.mac(sz, bpows[i], v)
         sgz = prog.const(0)
-        vec_gz = [v for _l, v in ev["tn"]] + [v for _l, v in ev["pn"]]
+        vec_gz = ([v for _l, v in ev["tn"]] + [v for _l, v in ev["en"]]
+                  + [v for _l, v in ev["pn"]])
         for i, v in enumerate(vec_gz):
             sgz = prog.mac(sgz, bpows[w_z + i], v)
         ev_sums[cp.name] = (sz, sgz, w_z, w_gz)
@@ -866,14 +887,17 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
         for (cp, air, n, log_N, s_i), op in zip(geo, mq.openings):
             w = air.width
             pw = air.perm_width
+            ew = getattr(air, "preprocessed_width", 0)
             if len(op.trace_row) != w or \
                     len(op.quotient_row) != 4 * config.blowup or \
-                    (pw and len(op.perm_row) != pw):
+                    (pw and len(op.perm_row) != pw) or \
+                    len(op.pre_row) != ew:
                 raise VerificationError("bad opened row")
             jbits = bits[:log_N]
             trow = wit_many([v % P for v in op.trace_row])
             qrow = wit_many([v % P for v in op.quotient_row])
             prow = wit_many([v % P for v in op.perm_row]) if pw else []
+            erow = wit_many([v % P for v in op.pre_row]) if ew else []
             # Merkle openings
             path_t = [wit_many(h) for h in op.trace_path]
             _verify_path_vm(prog, _leaf_hash24(prog, trow), jbits,
@@ -885,16 +909,24 @@ def build_program(airs: list[Air], shape: MachineShape, binding: bytes,
                 path_p = [wit_many(h) for h in op.perm_path]
                 _verify_path_vm(prog, _leaf_hash24(prog, prow), jbits,
                                 path_p, perm_roots[cp.name])
+            if ew:
+                # the preprocessed root is the INNER vk — a program
+                # constant, so the outer vk commits to it
+                root_c = [prog.const(v)
+                          for v in preprocessed_roots[cp.name]]
+                path_e = [wit_many(h) for h in op.pre_path]
+                _verify_path_vm(prog, _leaf_hash24(prog, erow), jbits,
+                                path_e, root_c)
             # DEEP reduced opening
             off, w_z, w_gz = offs[cp.name]
             sz, sgz, _wz, _wgz = ev_sums[cp.name]
             num_z = prog.const(0)
-            vec = trow + prow + qrow
+            vec = trow + erow + prow + qrow
             for i, v in enumerate(vec):
                 num_z = prog.mac(num_z, bpows[i], v)
             num_z = prog.sub(num_z, sz)
             num_gz = prog.const(0)
-            for i, v in enumerate(trow + prow):
+            for i, v in enumerate(trow + erow + prow):
                 num_gz = prog.mac(num_gz, bpows[w_z + i], v)
             num_gz = prog.sub(num_gz, sgz)
             x = _domain_x(prog, jbits, log_N, s_i)
@@ -1009,6 +1041,7 @@ def _dummy_proof(airs, shape: MachineShape,
     chips = []
     for name, log_n, publics in shape.chips:
         air = air_by_name[name]
+        ew = getattr(air, "preprocessed_width", 0)
         chips.append(ChipProof(
             name=name, log_n=log_n, publics=list(publics),
             bus_sum=[0, 0, 0, 0], trace_root=[0] * 8,
@@ -1017,13 +1050,15 @@ def _dummy_proof(airs, shape: MachineShape,
             tl=[Fp4(0)] * air.width, tn=[Fp4(0)] * air.width,
             pl=[Fp4(0)] * air.perm_width,
             pn=[Fp4(0)] * air.perm_width,
-            qe=[Fp4(0)] * (4 * config.blowup)))
+            qe=[Fp4(0)] * (4 * config.blowup),
+            el=[Fp4(0)] * ew, en=[Fp4(0)] * ew))
     log_N_max = shape.chips[0][1] + config.log_blowup
     queries = []
     for _ in range(config.num_queries):
         openings = []
         for name, log_n, _p in shape.chips:
             air = air_by_name[name]
+            ew = getattr(air, "preprocessed_width", 0)
             log_N = log_n + config.log_blowup
             openings.append(ChipOpening(
                 trace_row=[0] * air.width,
@@ -1032,6 +1067,8 @@ def _dummy_proof(airs, shape: MachineShape,
                 quotient_path=[[0] * 8] * log_N,
                 perm_row=[0] * air.perm_width,
                 perm_path=([[0] * 8] * log_N if air.perm_width else []),
+                pre_row=[0] * ew,
+                pre_path=([[0] * 8] * log_N if ew else []),
             ))
         steps = []
         size = 1 << log_N_max
@@ -1090,16 +1127,20 @@ class RecursionVK:
 
 
 def _session_messages(shape: MachineShape, binding: bytes,
-                      public_messages: list[tuple] | None) -> list[tuple]:
+                      public_messages: list[tuple] | None,
+                      preprocessed_roots: dict | None = None,
+                      ) -> list[tuple]:
     """The verifier-side bus messages of the OUTER proof, computable in
     O(|binding| + |messages|) without touching the program: the
     challenger chain seed (the post-header sponge state) and one
     (BUS_VM_PUB, k, value) message per session input, in the exact order
     build_program emits PUB rows (header residues, then message payload
     values)."""
+    pre = preprocessed_roots or {}
     hch = Challenger()
     _observe_header(hch, binding,
-                    [(n, l, list(p)) for n, l, p in shape.chips])
+                    [(n, l, list(p), pre.get(n))
+                     for n, l, p in shape.chips])
     pubs = [v % P for v in hch.input_buf]
     for entry in (public_messages or []):
         pubs.extend(int(v) % P for v in entry[1])
@@ -1141,7 +1182,9 @@ def recursion_vk(airs: list[Air], shape: MachineShape,
                  binding: bytes = b"",
                  public_message_structure: list[tuple] | None = None,
                  inner_config: StarkConfig = DEFAULT_CONFIG,
-                 outer_config: StarkConfig | None = None) -> RecursionVK:
+                 outer_config: StarkConfig | None = None,
+                 inner_preprocessed_roots: dict | None = None,
+                 ) -> RecursionVK:
     """Setup: build the (session-value-independent) program for this
     inner shape/message structure and commit it.  Session VALUES never
     reach the program (PUB rows); `binding` matters only through its
@@ -1149,7 +1192,8 @@ def recursion_vk(airs: list[Air], shape: MachineShape,
     binding of the session's journal length yields the same vk."""
     prog = build_program(airs, shape, binding,
                          public_message_structure or [],
-                         inner_config, proof=None)
+                         inner_config, proof=None,
+                         preprocessed_roots=inner_preprocessed_roots)
     return _vk_from_prog(prog, shape, outer_config or inner_config)
 
 
@@ -1157,7 +1201,9 @@ def trusted_vk(airs: list[Air], shape: MachineShape, binding: bytes,
                public_messages: list[tuple] | None = None,
                inner_config: StarkConfig = DEFAULT_CONFIG,
                outer_config: StarkConfig | None = None,
-               cache_dir: str | None = None) -> RecursionVK:
+               cache_dir: str | None = None,
+               inner_preprocessed_roots: dict | None = None,
+               ) -> RecursionVK:
     """The VERIFIER's vk for this statement geometry, from a local trust
     cache: a prover-supplied program root is never trusted — the verifier
     derives the root itself once per (shape, message structure, configs,
@@ -1170,6 +1216,9 @@ def trusted_vk(airs: list[Air], shape: MachineShape, binding: bytes,
     h = hashlib.sha256()
     h.update(shape.to_bytes())
     h.update(len(binding).to_bytes(8, "big"))
+    for name in sorted(inner_preprocessed_roots or {}):
+        h.update(name.encode())
+        h.update(repr(list(inner_preprocessed_roots[name])).encode())
     for entry in (public_messages or []):
         mult = entry[2] if len(entry) > 2 else -1
         h.update(b"%d:%d:%d;" % (entry[0], len(entry[1]), mult))
@@ -1189,7 +1238,8 @@ def trusted_vk(airs: list[Air], shape: MachineShape, binding: bytes,
         except Exception:
             pass   # corrupt cache entry: rebuild below
     vk = recursion_vk(airs, shape, binding, public_messages,
-                      inner_config, outer_config)
+                      inner_config, outer_config,
+                      inner_preprocessed_roots=inner_preprocessed_roots)
     try:
         base.mkdir(parents=True, exist_ok=True)
         path.write_bytes(vk.to_bytes())
@@ -1202,7 +1252,8 @@ def recursion_prove(airs: list[Air], proof: MachineProof, binding: bytes,
                     public_messages: list[tuple] | None = None,
                     inner_config: StarkConfig = DEFAULT_CONFIG,
                     outer_config: StarkConfig | None = None,
-                    timings: dict | None = None):
+                    timings: dict | None = None,
+                    inner_preprocessed_roots: dict | None = None):
     """Compress: prove "I verified this machine proof" as ONE machine
     proof over (VmAir, Sponge16Air, Sponge24Air) with the program in the
     VM chip's vk-committed preprocessed columns.  Returns
@@ -1210,7 +1261,8 @@ def recursion_prove(airs: list[Air], proof: MachineProof, binding: bytes,
     shape = MachineShape.of(proof)
     prog = build_program(airs, shape, binding,
                          public_messages or [], inner_config,
-                         proof=proof)
+                         proof=proof,
+                         preprocessed_roots=inner_preprocessed_roots)
     chips = _outer_chips(prog)
     outer_binding = binding + shape.to_bytes()
     outer = prove_machine(
@@ -1220,11 +1272,109 @@ def recursion_prove(airs: list[Air], proof: MachineProof, binding: bytes,
     return vk, outer
 
 
+@dataclass(frozen=True)
+class RecursionVKBN:
+    """Verifying key of a BN-committed (shrink) recursion layer: the
+    inner shape, the MiMC root of the VM program matrix, and the inner
+    machine's own preprocessed roots (pinned — they are program
+    constants, so they are already inside program_root; carried here for
+    the verifier's session-message derivation)."""
+
+    shape: MachineShape
+    program_root: int
+    inner_preprocessed_roots: tuple   # ((name, (limb, …)), …)
+    n_instrs: int
+    n_pubs: int
+
+    def to_bytes(self) -> bytes:
+        from ..core import cbor
+
+        return cbor.dumps({
+            "shape": self.shape.to_bytes(),
+            "root": int(self.program_root).to_bytes(32, "big"),
+            "ipr": [[n, list(r)] for n, r in
+                    self.inner_preprocessed_roots],
+            "ni": self.n_instrs, "np": self.n_pubs})
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "RecursionVKBN":
+        from ..core import cbor
+
+        obj = cbor.loads(data)
+        return cls(shape=MachineShape.from_bytes(obj["shape"]),
+                   program_root=int.from_bytes(obj["root"], "big"),
+                   inner_preprocessed_roots=tuple(
+                       (n, tuple(r)) for n, r in obj["ipr"]),
+                   n_instrs=obj["ni"], n_pubs=obj["np"])
+
+
+def recursion_prove_bn(airs: list[Air], proof: MachineProof,
+                       binding: bytes,
+                       public_messages: list[tuple] | None = None,
+                       inner_config: StarkConfig = DEFAULT_CONFIG,
+                       outer_config: StarkConfig | None = None,
+                       inner_preprocessed_roots: dict | None = None,
+                       timings: dict | None = None):
+    """The SHRINK layer: same verifier-VM program as recursion_prove,
+    but the outer machine commits with BN254/MiMC (stark/machine_bn.py)
+    so the Groth16 wrap circuit can verify it cheaply.  The inner proof
+    here is typically a compress-layer proof (VM + sponge chips, with
+    the compress program root passed as inner_preprocessed_roots).
+    Returns (RecursionVKBN, MachineProofBN)."""
+    from .machine_bn import preprocessed_root_bn, prove_machine_bn
+
+    shape = MachineShape.of(proof)
+    prog = build_program(airs, shape, binding,
+                         public_messages or [], inner_config,
+                         proof=proof,
+                         preprocessed_roots=inner_preprocessed_roots)
+    chips = _outer_chips(prog)
+    outer_binding = binding + shape.to_bytes()
+    ocfg = outer_config or inner_config
+    outer = prove_machine_bn(chips, binding=outer_binding, config=ocfg,
+                             timings=timings)
+    pre = chips[0].preprocessed
+    log_n_vm = pre.shape[0].bit_length() - 1
+    heights = [log_n_vm] + [
+        max(4, (max(len(prog.sp_rows[w]), 1) - 1).bit_length())
+        for w in (16, 24)]
+    root = preprocessed_root_bn(VmAir(), pre, max(heights), log_n_vm,
+                                ocfg)
+    vk = RecursionVKBN(
+        shape=shape, program_root=root,
+        inner_preprocessed_roots=tuple(
+            (n, tuple(r))
+            for n, r in sorted((inner_preprocessed_roots or {}).items())),
+        n_instrs=len(prog.instrs), n_pubs=len(prog.pub_values))
+    return vk, outer
+
+
+def recursion_verify_bn(vk: RecursionVKBN, outer_proof, binding: bytes,
+                        public_messages: list[tuple] | None = None,
+                        outer_config: StarkConfig = DEFAULT_CONFIG,
+                        ) -> bool:
+    """Verify a shrink-layer proof in O(outer proof): session messages
+    are derived directly from (binding, messages, vk), the program root
+    comes from the vk — exactly the computation the wrap circuit
+    arithmetizes."""
+    from .machine_bn import verify_machine_bn
+
+    msgs = _session_messages(vk.shape, binding, public_messages,
+                             dict((n, list(r))
+                                  for n, r in vk.inner_preprocessed_roots))
+    outer_binding = binding + vk.shape.to_bytes()
+    return verify_machine_bn(
+        outer_airs(), outer_proof, binding=outer_binding,
+        public_messages=msgs, config=outer_config,
+        preprocessed_roots={"VmAir": vk.program_root})
+
+
 def recursion_verify(airs: list[Air], shape, outer_proof: MachineProof,
                      binding: bytes,
                      public_messages: list[tuple] | None = None,
                      inner_config: StarkConfig = DEFAULT_CONFIG,
-                     outer_config: StarkConfig | None = None) -> bool:
+                     outer_config: StarkConfig | None = None,
+                     inner_preprocessed_roots: dict | None = None) -> bool:
     """Verify the compress layer.  `shape` may be a RecursionVK (fast
     path: O(outer proof) — the program is NEVER rebuilt, its commitment
     root comes from the vk) or a bare MachineShape (setup path: the
@@ -1234,9 +1384,11 @@ def recursion_verify(airs: list[Air], shape, outer_proof: MachineProof,
         vk = shape
     else:
         vk = recursion_vk(airs, shape, binding, public_messages,
-                          inner_config, outer_config)
+                          inner_config, outer_config,
+                          inner_preprocessed_roots=inner_preprocessed_roots)
     outer_binding = binding + vk.shape.to_bytes()
-    msgs = _session_messages(vk.shape, binding, public_messages)
+    msgs = _session_messages(vk.shape, binding, public_messages,
+                             inner_preprocessed_roots)
     return verify_machine(
         outer_airs(), outer_proof, binding=outer_binding,
         public_messages=msgs,

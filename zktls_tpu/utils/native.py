@@ -24,6 +24,7 @@ __all__ = ["get_native", "native_available"]
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "libzktls_native.so"
 _SRC = _NATIVE_DIR / "poseidon2.c"
+_SRC_MIMC = _NATIVE_DIR / "mimc_bn254.c"
 
 _lib = None
 _load_failed = False
@@ -34,17 +35,21 @@ _WIDTH_TO_INST = {16: 0, 24: 1}
 def _build() -> bool:
     if os.environ.get("ZKTLS_NO_NATIVE"):
         return False
-    if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+    srcs = [_SRC, _SRC_MIMC]
+    if _SO_PATH.exists() and all(
+            _SO_PATH.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return True
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_SO_PATH)],
-                check=True, capture_output=True, timeout=120,
-            )
-            return True
-        except (OSError, subprocess.SubprocessError):
-            continue
+    for extra in (["-fopenmp"], []):
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC"] + extra
+                    + [str(s) for s in srcs] + ["-o", str(_SO_PATH)],
+                    check=True, capture_output=True, timeout=120,
+                )
+                return True
+            except (OSError, subprocess.SubprocessError):
+                continue
     return False
 
 
@@ -65,6 +70,18 @@ def _load():
         lib.p2_permute_batch.argtypes = [u32, u32p, sz]
         lib.p2_hash_rows.argtypes = [u32, u32p, sz, sz, u32p]
         lib.p2_compress_pairs.argtypes = [u32, u32p, sz, u32p]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.mimc_set_rc.argtypes = [u64p]
+        lib.mimc_set_rc.restype = ctypes.c_int
+        lib.mimc_hash_rows.argtypes = [u64p, sz, sz, u64p]
+        lib.mimc_compress_pairs.argtypes = [u64p, sz, u64p]
+        from ..snark.wrap import MIMC_ROUND_CONSTANTS
+
+        rc_arr = np.zeros((len(MIMC_ROUND_CONSTANTS), 4), dtype=np.uint64)
+        for i, c in enumerate(MIMC_ROUND_CONSTANTS):
+            for j in range(4):
+                rc_arr[i, j] = (c >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+        lib.mimc_set_rc(np.ascontiguousarray(rc_arr).ctypes.data_as(u64p))
 
         from ..ops.poseidon2 import get_params
 
@@ -125,6 +142,31 @@ class _Native:
         lib.p2_compress_pairs(
             0, pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out
+
+    # -- BN254 MiMC (the shrink/wrap commitment hash) -------------------
+
+    def mimc_hash_rows(self, elems: np.ndarray) -> np.ndarray:
+        """(n, k, 4) plain u64 limb rows → (n, 4) digests (MP-MiMC chain
+        per row, identical to snark.wrap.mimc_hash)."""
+        lib = _load()
+        elems = np.ascontiguousarray(elems, dtype=np.uint64)
+        n, k, _ = elems.shape
+        out = np.zeros((n, 4), dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.mimc_hash_rows(elems.ctypes.data_as(u64p), n, k,
+                           out.ctypes.data_as(u64p))
+        return out
+
+    def mimc_compress_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        """(n, 2, 4) plain u64 limb pairs → (n, 4) parent digests."""
+        lib = _load()
+        pairs = np.ascontiguousarray(pairs, dtype=np.uint64)
+        n = pairs.shape[0]
+        out = np.zeros((n, 4), dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.mimc_compress_pairs(pairs.ctypes.data_as(u64p), n,
+                                out.ctypes.data_as(u64p))
         return out
 
 

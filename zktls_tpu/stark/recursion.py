@@ -11,20 +11,26 @@ fixed inner geometry into a straight-line program over three chips —
   * Sponge16Air    every Fiat-Shamir duplex + Merkle 2-to-1 compression;
   * Sponge24Air    every Merkle leaf sponge —
 
-glued by the machine bus.  The program itself is NOT committed by the
-prover: it is a deterministic function of (inner geometry, binding,
-public messages, config), so the outer verifier regenerates it and sends
-one BUS_VM_INSTR message per row (plus the precomputed transcript-header
-chain state).  Soundness: every witness value the program uses is either
-(a) hashed into the Fiat-Shamir transcript through the sponge chips,
-(b) checked against a Merkle root through the compression chain, or
-(c) constrained by the emitted field equations — exactly the checks the
-host verifier performs, one instruction at a time.
+glued by the machine bus.  The program lives in the VM chip's
+PREPROCESSED columns: its Merkle root is the verifying key
+(RecursionVK), computed once per statement geometry — the program is a
+pure function of (inner shape, message structure, configs), never of
+session values, which enter through PUB rows as verifier-sent
+(BUS_VM_PUB, k, value) messages.  Verification against a vk is
+O(outer proof): the program is never rebuilt (round-4's O(L)
+per-instruction messaging is gone).  Soundness: every witness value the
+program uses is either (a) hashed into the Fiat-Shamir transcript
+through the sponge chips, (b) checked against a Merkle root through the
+compression chain, or (c) constrained by the emitted field equations —
+exactly the checks the host verifier performs, one instruction at a
+time.
 
 Cost shape: the inner machine's total opened width W and query count Q
-dominate (O(W·Q) VM rows + O(W·Q/16) sponge rows).  The wrap-circuit
-upgrade (program hash in the vk, O(1) outer verification) is the round-5
-track; this module establishes the compress rung.
+dominate (O(W·Q) VM rows + O(W·Q/16) sponge rows).  Two applications
+chain to the on-chain seal: compress (Poseidon2-committed outer,
+recursion_prove) and shrink (BN254/MiMC-committed outer,
+recursion_prove_bn — stark/machine_bn.py), whose verifier the Groth16
+wrap circuit arithmetizes (snark/stark_wrap.py).
 """
 
 from __future__ import annotations

@@ -451,7 +451,51 @@ def _msm(points, scalars, add, neg, window: int = 8):
 
 def msm_g1(points, scalars):
     scalars = [s % R for s in scalars]
+    if len(points) >= 64:
+        out = _msm_g1_native(points, scalars)
+        if out is not NotImplemented:
+            return out
     return _msm(points, scalars, g1_add, g1_neg)
+
+
+def _msm_g1_native(points, scalars):
+    """Pippenger in C (native/bn254_msm.c) — the Groth16 proving hot
+    loop; the reference leans on gnark/rapidsnark native MSM the same
+    way.  Returns NotImplemented when the toolchain is unavailable."""
+    try:
+        import numpy as np
+
+        from ..utils.native import get_native
+
+        nat = get_native()
+        if nat is None:
+            return NotImplemented
+    except Exception:
+        return NotImplemented
+    n = len(points)
+    pts = np.zeros((n, 8), dtype=np.uint64)
+    scs = np.zeros((n, 4), dtype=np.uint64)
+    m = (1 << 64) - 1
+    for i, (pt, s) in enumerate(zip(points, scalars)):
+        if pt is not None:
+            x, y = pt
+            for j in range(4):
+                pts[i, j] = (x >> (64 * j)) & m
+                pts[i, 4 + j] = (y >> (64 * j)) & m
+        for j in range(4):
+            scs[i, j] = (s >> (64 * j)) & m
+    out = nat.bn254_msm_g1(pts, scs)
+
+    def limbs_int(row):
+        return (int(row[0]) | int(row[1]) << 64 | int(row[2]) << 128
+                | int(row[3]) << 192)
+
+    X, Y, Z = (limbs_int(out[k]) for k in range(3))
+    if Z == 0:
+        return None
+    z_inv = pow(Z, P - 2, P)
+    z2 = z_inv * z_inv % P
+    return (X * z2 % P, Y * z2 % P * z_inv % P)
 
 
 def msm_g2(points, scalars):
@@ -500,6 +544,49 @@ def g1_base_mul(k: int):
     if _G1_BASE is None:
         _G1_BASE = FixedBase(G1, g1_add)
     return _G1_BASE.mul(k)
+
+
+def g1_base_mul_batch(scalars: list[int]) -> list:
+    """[k·G1 for k in scalars] — C batched fixed-base when available
+    (CRS generation is n_vars of these), Python table otherwise."""
+    try:
+        import numpy as np
+
+        from ..utils.native import get_native
+
+        nat = get_native()
+    except Exception:
+        nat = None
+    if nat is None or len(scalars) < 64:
+        return [g1_base_mul(k % R) if k % R else None for k in scalars]
+    m = (1 << 64) - 1
+    scs = np.zeros((len(scalars), 4), dtype=np.uint64)
+    for i, s in enumerate(scalars):
+        s %= R
+        for j in range(4):
+            scs[i, j] = (s >> (64 * j)) & m
+    base = np.array([(G1[0] >> (64 * j)) & m for j in range(4)]
+                    + [(G1[1] >> (64 * j)) & m for j in range(4)],
+                    dtype=np.uint64)
+    jac = nat.bn254_g1_mul_batch(base, scs)
+    out = []
+    for i, s in enumerate(scalars):
+        if s % R == 0:
+            out.append(None)
+            continue
+        X = int(jac[i, 0, 0]) | int(jac[i, 0, 1]) << 64 \
+            | int(jac[i, 0, 2]) << 128 | int(jac[i, 0, 3]) << 192
+        Y = int(jac[i, 1, 0]) | int(jac[i, 1, 1]) << 64 \
+            | int(jac[i, 1, 2]) << 128 | int(jac[i, 1, 3]) << 192
+        Z = int(jac[i, 2, 0]) | int(jac[i, 2, 1]) << 64 \
+            | int(jac[i, 2, 2]) << 128 | int(jac[i, 2, 3]) << 192
+        if Z == 0:
+            out.append(None)
+            continue
+        z_inv = pow(Z, P - 2, P)
+        z2 = z_inv * z_inv % P
+        out.append((X * z2 % P, Y * z2 % P * z_inv % P))
+    return out
 
 
 def g2_base_mul(k: int):

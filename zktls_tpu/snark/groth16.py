@@ -188,22 +188,27 @@ def setup(cs: R1CS, seed: bytes = b"zktls-tpu-groth16-dev") -> Groth16Keys:
     gamma_inv = pow(gamma, R - 2, R)
     delta_inv = pow(delta, R - 2, R)
 
-    a_query = [g1_base_mul(v) if v else None for v in a_t]
-    b1_query = [g1_base_mul(v) if v else None for v in b_t]
+    from .bn254 import g1_base_mul_batch
+
+    a_query = [p if v else None
+               for p, v in zip(g1_base_mul_batch(a_t), a_t)]
+    b1_query = [p if v else None
+                for p, v in zip(g1_base_mul_batch(b_t), b_t)]
     b2_query = [g2_base_mul(v) if v else None for v in b_t]
-    ic = []
-    k_query = []
+    k_scalars = []
     for i in range(cs.n_vars):
         k = (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R
-        if i <= cs.n_public:
-            ic.append(g1_base_mul(k * gamma_inv % R))
-        else:
-            k_query.append(g1_base_mul(k * delta_inv % R))
-    h_query = []
+        k_scalars.append(k * (gamma_inv if i <= cs.n_public
+                              else delta_inv) % R)
+    k_points = g1_base_mul_batch(k_scalars)
+    ic = k_points[: cs.n_public + 1]
+    k_query = k_points[cs.n_public + 1 :]
+    h_scalars = []
     t_pow = 1
     for _k in range(n - 1):
-        h_query.append(g1_base_mul(t_pow * z_t % R * delta_inv % R))
+        h_scalars.append(t_pow * z_t % R * delta_inv % R)
         t_pow = t_pow * tau % R
+    h_query = g1_base_mul_batch(h_scalars)
     return Groth16Keys(
         alpha1=g1_base_mul(alpha), beta1=g1_base_mul(beta),
         beta2=g2_base_mul(beta), delta1=g1_base_mul(delta),

@@ -25,6 +25,7 @@ _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "libzktls_native.so"
 _SRC = _NATIVE_DIR / "poseidon2.c"
 _SRC_MIMC = _NATIVE_DIR / "mimc_bn254.c"
+_SRC_MSM = _NATIVE_DIR / "bn254_msm.c"
 
 _lib = None
 _load_failed = False
@@ -35,7 +36,7 @@ _WIDTH_TO_INST = {16: 0, 24: 1}
 def _build() -> bool:
     if os.environ.get("ZKTLS_NO_NATIVE"):
         return False
-    srcs = [_SRC, _SRC_MIMC]
+    srcs = [_SRC, _SRC_MIMC, _SRC_MSM]
     if _SO_PATH.exists() and all(
             _SO_PATH.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return True
@@ -75,6 +76,8 @@ def _load():
         lib.mimc_set_rc.restype = ctypes.c_int
         lib.mimc_hash_rows.argtypes = [u64p, sz, sz, u64p]
         lib.mimc_compress_pairs.argtypes = [u64p, sz, u64p]
+        lib.bn254_msm_g1.argtypes = [u64p, u64p, sz, u64p]
+        lib.bn254_g1_mul_batch.argtypes = [u64p, u64p, sz, u64p]
         from ..snark.wrap import MIMC_ROUND_CONSTANTS
 
         rc_arr = np.zeros((len(MIMC_ROUND_CONSTANTS), 4), dtype=np.uint64)
@@ -167,6 +170,36 @@ class _Native:
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.mimc_compress_pairs(pairs.ctypes.data_as(u64p), n,
                                 out.ctypes.data_as(u64p))
+        return out
+
+    # -- BN254 G1 MSM (Groth16 proving hot loop) ------------------------
+
+    def bn254_msm_g1(self, points: np.ndarray,
+                     scalars: np.ndarray) -> np.ndarray:
+        """points (n, 8), scalars (n, 4) plain u64 limbs → (3, 4)
+        Jacobian (X, Y, Z) plain limbs; Z = 0 means infinity."""
+        lib = _load()
+        points = np.ascontiguousarray(points, dtype=np.uint64)
+        scalars = np.ascontiguousarray(scalars, dtype=np.uint64)
+        out = np.zeros((3, 4), dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn254_msm_g1(points.ctypes.data_as(u64p),
+                         scalars.ctypes.data_as(u64p), points.shape[0],
+                         out.ctypes.data_as(u64p))
+        return out
+
+    def bn254_g1_mul_batch(self, base: np.ndarray,
+                           scalars: np.ndarray) -> np.ndarray:
+        """base (8,), scalars (n, 4) → (n, 3, 4) Jacobian points."""
+        lib = _load()
+        base = np.ascontiguousarray(base, dtype=np.uint64)
+        scalars = np.ascontiguousarray(scalars, dtype=np.uint64)
+        n = scalars.shape[0]
+        out = np.zeros((n, 3, 4), dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn254_g1_mul_batch(base.ctypes.data_as(u64p),
+                               scalars.ctypes.data_as(u64p), n,
+                               out.ctypes.data_as(u64p))
         return out
 
 

@@ -293,6 +293,213 @@ void bn254_msm_g1(const u64 *points, const u64 *scalars, size_t n,
     free(mont);
 }
 
+/* ---- G2 (Fp2 = Fp[i]/(i^2+1)) -------------------------------------- */
+
+typedef struct { u64 re[4], im[4]; } f2;
+
+static void f2mul(f2 *out, const f2 *a, const f2 *b) {
+    u64 t1[4], t2[4], t3[4], t4[4];
+    fmul(t1, a->re, b->re);
+    fmul(t2, a->im, b->im);
+    fadd(t3, a->re, a->im);
+    fadd(t4, b->re, b->im);
+    fmul(t3, t3, t4);          /* (a.re+a.im)(b.re+b.im) */
+    fsub(out->re, t1, t2);
+    fsub(t3, t3, t1);
+    fsub(out->im, t3, t2);
+}
+
+static void f2add(f2 *out, const f2 *a, const f2 *b) {
+    fadd(out->re, a->re, b->re);
+    fadd(out->im, a->im, b->im);
+}
+
+static void f2sub(f2 *out, const f2 *a, const f2 *b) {
+    fsub(out->re, a->re, b->re);
+    fsub(out->im, a->im, b->im);
+}
+
+static void f2dbl(f2 *out, const f2 *a) { f2add(out, a, a); }
+
+static int f2zero(const f2 *a) { return fzero(a->re) && fzero(a->im); }
+
+static void f2_to_mont(f2 *out, const u64 *plain8) {
+    to_montp(out->re, plain8);
+    to_montp(out->im, plain8 + 4);
+}
+
+static void f2_from_mont(u64 *plain8, const f2 *a) {
+    from_montp(plain8, a->re);
+    from_montp(plain8 + 4, a->im);
+}
+
+typedef struct { f2 X, Y, Z; } jac2;
+
+static void jac2_set_inf(jac2 *p) { memset(p, 0, sizeof(*p)); }
+
+static int jac2_is_inf(const jac2 *p) { return f2zero(&p->Z); }
+
+static void jac2_dbl(jac2 *out, const jac2 *p) {
+    if (jac2_is_inf(p)) { *out = *p; return; }
+    f2 A, B, C, D, E, F, t, t2;
+    f2mul(&A, &p->X, &p->X);
+    f2mul(&B, &p->Y, &p->Y);
+    f2mul(&C, &B, &B);
+    f2add(&t, &p->X, &B);
+    f2mul(&t, &t, &t);
+    f2sub(&t, &t, &A);
+    f2sub(&t, &t, &C);
+    f2dbl(&D, &t);
+    f2dbl(&E, &A); f2add(&E, &E, &A);
+    f2mul(&F, &E, &E);
+    f2sub(&t, &F, &D); f2sub(&t, &t, &D);
+    f2 X3 = t;
+    f2sub(&t, &D, &X3);
+    f2mul(&t, &E, &t);
+    f2dbl(&t2, &C); f2dbl(&t2, &t2); f2dbl(&t2, &t2);
+    f2sub(&t, &t, &t2);
+    f2 Y3 = t;
+    f2mul(&t, &p->Y, &p->Z);
+    f2dbl(&t, &t);
+    out->X = X3; out->Y = Y3; out->Z = t;
+}
+
+static void jac2_add(jac2 *out, const jac2 *p, const jac2 *q) {
+    if (jac2_is_inf(p)) { *out = *q; return; }
+    if (jac2_is_inf(q)) { *out = *p; return; }
+    f2 Z1Z1, Z2Z2, U1, U2, S1, S2, H, I, J, r, V, t, t2;
+    f2mul(&Z1Z1, &p->Z, &p->Z);
+    f2mul(&Z2Z2, &q->Z, &q->Z);
+    f2mul(&U1, &p->X, &Z2Z2);
+    f2mul(&U2, &q->X, &Z1Z1);
+    f2mul(&S1, &p->Y, &q->Z); f2mul(&S1, &S1, &Z2Z2);
+    f2mul(&S2, &q->Y, &p->Z); f2mul(&S2, &S2, &Z1Z1);
+    f2sub(&H, &U2, &U1);
+    f2sub(&r, &S2, &S1);
+    if (f2zero(&H)) {
+        if (f2zero(&r)) { jac2_dbl(out, p); return; }
+        jac2_set_inf(out);
+        return;
+    }
+    f2dbl(&t, &H); f2mul(&I, &t, &t);
+    f2mul(&J, &H, &I);
+    f2dbl(&r, &r);
+    f2mul(&V, &U1, &I);
+    f2mul(&t, &r, &r); f2sub(&t, &t, &J);
+    f2sub(&t, &t, &V); f2sub(&t, &t, &V);
+    f2 X3 = t;
+    f2sub(&t, &V, &X3); f2mul(&t, &r, &t);
+    f2mul(&t2, &S1, &J); f2dbl(&t2, &t2);
+    f2sub(&t, &t, &t2);
+    f2 Y3 = t;
+    f2add(&t, &p->Z, &q->Z); f2mul(&t, &t, &t);
+    f2sub(&t, &t, &Z1Z1); f2sub(&t, &t, &Z2Z2); f2mul(&t, &t, &H);
+    out->X = X3; out->Y = Y3; out->Z = t;
+}
+
+/* batched fixed-base G2: base 16 plain limbs (x.re x.im y.re y.im),
+ * out n * 24 plain limbs (Jacobian, f2 coords re||im). */
+void bn254_g2_mul_batch(const u64 *base, const u64 *scalars, size_t n,
+                        u64 *out) {
+    const int c = 8;
+    const int windows = (254 + c - 1) / c;
+    const size_t tsize = ((size_t)1 << c) - 1;
+    jac2 *table = malloc(windows * tsize * sizeof(jac2));
+    jac2 cur;
+    f2_to_mont(&cur.X, base);
+    f2_to_mont(&cur.Y, base + 8);
+    static const u64 one[4] = {1, 0, 0, 0};
+    to_montp(cur.Z.re, one);
+    memset(cur.Z.im, 0, 32);
+    for (int w = 0; w < windows; w++) {
+        jac2 acc;
+        jac2_set_inf(&acc);
+        for (size_t v = 1; v <= tsize; v++) {
+            jac2_add(&acc, &acc, &cur);
+            table[w * tsize + (v - 1)] = acc;
+        }
+        jac2_add(&cur, &acc, &cur);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < n; i++) {
+        const u64 *s = scalars + 4 * i;
+        jac2 r;
+        jac2_set_inf(&r);
+        for (int w = 0; w < windows; w++) {
+            int bit0 = w * c;
+            u64 v = 0;
+            int limb = bit0 >> 6, off = bit0 & 63;
+            v = s[limb] >> off;
+            if (off + c > 64 && limb + 1 < 4)
+                v |= s[limb + 1] << (64 - off);
+            v &= ((u64)1 << c) - 1;
+            if (v)
+                jac2_add(&r, &r, &table[w * tsize + (v - 1)]);
+        }
+        f2_from_mont(out + 24 * i, &r.X);
+        f2_from_mont(out + 24 * i + 8, &r.Y);
+        f2_from_mont(out + 24 * i + 16, &r.Z);
+    }
+    free(table);
+}
+
+/* G2 MSM (Pippenger over jac2; points n*16 plain limbs, out 24 limbs) */
+void bn254_msm_g2(const u64 *points, const u64 *scalars, size_t n,
+                  u64 *out) {
+    const int c = 13;
+    const int windows = (254 + c - 1) / c;
+    const size_t nbuckets = ((size_t)1 << c) - 1;
+    jac2 *buckets = malloc(nbuckets * sizeof(jac2));
+    jac2 *aff = malloc(n * sizeof(jac2));
+    static const u64 one[4] = {1, 0, 0, 0};
+    for (size_t i = 0; i < n; i++) {
+        f2_to_mont(&aff[i].X, points + 16 * i);
+        f2_to_mont(&aff[i].Y, points + 16 * i + 8);
+        to_montp(aff[i].Z.re, one);
+        memset(aff[i].Z.im, 0, 32);
+    }
+    jac2 total;
+    jac2_set_inf(&total);
+    for (int w = windows - 1; w >= 0; w--) {
+        for (int k = 0; k < c; k++)
+            jac2_dbl(&total, &total);
+        for (size_t b = 0; b < nbuckets; b++)
+            jac2_set_inf(&buckets[b]);
+        int bit0 = w * c;
+        for (size_t i = 0; i < n; i++) {
+            const u64 *s = scalars + 4 * i;
+            u64 v = 0;
+            int limb = bit0 >> 6, off = bit0 & 63;
+            v = s[limb] >> off;
+            if (off + c > 64 && limb + 1 < 4)
+                v |= s[limb + 1] << (64 - off);
+            v &= ((u64)1 << c) - 1;
+            if (v == 0) continue;
+            const u64 *px = points + 16 * i;
+            int allz = 1;
+            for (int k = 0; k < 16; k++)
+                if (px[k]) { allz = 0; break; }
+            if (allz) continue;
+            jac2_add(&buckets[v - 1], &buckets[v - 1], &aff[i]);
+        }
+        jac2 run, acc;
+        jac2_set_inf(&run);
+        jac2_set_inf(&acc);
+        for (size_t b = nbuckets; b > 0; b--) {
+            jac2_add(&run, &run, &buckets[b - 1]);
+            jac2_add(&acc, &acc, &run);
+        }
+        jac2_add(&total, &total, &acc);
+    }
+    f2_from_mont(out, &total.X);
+    f2_from_mont(out + 8, &total.Y);
+    f2_from_mont(out + 16, &total.Z);
+    free(buckets);
+    free(aff);
+}
+
 /* batched fixed-base: out[i] = scalars[i] * base, one shared window
  * table.  base: 8 plain limbs; out: n * 12 plain limbs (Jacobian). */
 void bn254_g1_mul_batch(const u64 *base, const u64 *scalars, size_t n,

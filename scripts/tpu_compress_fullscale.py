@@ -19,6 +19,15 @@ sys.path.insert(0, str(ROOT))
 
 import jax  # noqa: E402
 
+# the axon tunnel makes every compile a network round-trip; the
+# persistent cache is the difference between minutes and an hour cold
+try:
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 
 def wait_device(tries=60):
     for i in range(tries):

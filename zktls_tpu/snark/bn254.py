@@ -500,7 +500,80 @@ def _msm_g1_native(points, scalars):
 
 def msm_g2(points, scalars):
     scalars = [s % R for s in scalars]
+    if len(points) >= 64:
+        out = _msm_g2_native(points, scalars)
+        if out is not NotImplemented:
+            return out
     return _msm(points, scalars, g2_add, g2_neg)
+
+
+def _limbs4(x: int):
+    m = (1 << 64) - 1
+    return [(x >> (64 * j)) & m for j in range(4)]
+
+
+def _int4(row) -> int:
+    return (int(row[0]) | int(row[1]) << 64 | int(row[2]) << 128
+            | int(row[3]) << 192)
+
+
+def _jac2_to_affine(out6) -> tuple | None:
+    X = (_int4(out6[0]), _int4(out6[1]))
+    Y = (_int4(out6[2]), _int4(out6[3]))
+    Z = (_int4(out6[4]), _int4(out6[5]))
+    if Z == (0, 0):
+        return None
+    z_inv = f2_inv(Z)
+    z2 = f2_mul(z_inv, z_inv)
+    return (f2_mul(X, z2), f2_mul(f2_mul(Y, z2), z_inv))
+
+
+def _msm_g2_native(points, scalars):
+    try:
+        import numpy as np
+
+        from ..utils.native import get_native
+
+        nat = get_native()
+        if nat is None:
+            return NotImplemented
+    except Exception:
+        return NotImplemented
+    n = len(points)
+    pts = np.zeros((n, 16), dtype=np.uint64)
+    scs = np.zeros((n, 4), dtype=np.uint64)
+    for i, (pt, s) in enumerate(zip(points, scalars)):
+        if pt is not None:
+            (xr, xi), (yr, yi) = pt
+            pts[i, 0:4] = _limbs4(xr)
+            pts[i, 4:8] = _limbs4(xi)
+            pts[i, 8:12] = _limbs4(yr)
+            pts[i, 12:16] = _limbs4(yi)
+        scs[i] = _limbs4(s)
+    return _jac2_to_affine(nat.bn254_msm_g2(pts, scs))
+
+
+def g2_base_mul_batch(scalars: list[int]) -> list:
+    """[k·G2 for k in scalars] via the C batched fixed-base path."""
+    try:
+        import numpy as np
+
+        from ..utils.native import get_native
+
+        nat = get_native()
+    except Exception:
+        nat = None
+    if nat is None or len(scalars) < 64:
+        return [g2_base_mul(k % R) if k % R else None for k in scalars]
+    scs = np.zeros((len(scalars), 4), dtype=np.uint64)
+    for i, s in enumerate(scalars):
+        scs[i] = _limbs4(s % R)
+    base = np.array(_limbs4(G2[0][0]) + _limbs4(G2[0][1])
+                    + _limbs4(G2[1][0]) + _limbs4(G2[1][1]),
+                    dtype=np.uint64)
+    jac = nat.bn254_g2_mul_batch(base, scs)
+    return [(_jac2_to_affine(jac[i]) if s % R else None)
+            for i, s in enumerate(scalars)]
 
 
 class FixedBase:

@@ -188,13 +188,14 @@ def setup(cs: R1CS, seed: bytes = b"zktls-tpu-groth16-dev") -> Groth16Keys:
     gamma_inv = pow(gamma, R - 2, R)
     delta_inv = pow(delta, R - 2, R)
 
-    from .bn254 import g1_base_mul_batch
+    from .bn254 import g1_base_mul_batch, g2_base_mul_batch
 
     a_query = [p if v else None
                for p, v in zip(g1_base_mul_batch(a_t), a_t)]
     b1_query = [p if v else None
                 for p, v in zip(g1_base_mul_batch(b_t), b_t)]
-    b2_query = [g2_base_mul(v) if v else None for v in b_t]
+    b2_query = [p if v else None
+                for p, v in zip(g2_base_mul_batch(b_t), b_t)]
     k_scalars = []
     for i in range(cs.n_vars):
         k = (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R

@@ -78,6 +78,8 @@ def _load():
         lib.mimc_compress_pairs.argtypes = [u64p, sz, u64p]
         lib.bn254_msm_g1.argtypes = [u64p, u64p, sz, u64p]
         lib.bn254_g1_mul_batch.argtypes = [u64p, u64p, sz, u64p]
+        lib.bn254_msm_g2.argtypes = [u64p, u64p, sz, u64p]
+        lib.bn254_g2_mul_batch.argtypes = [u64p, u64p, sz, u64p]
         from ..snark.wrap import MIMC_ROUND_CONSTANTS
 
         rc_arr = np.zeros((len(MIMC_ROUND_CONSTANTS), 4), dtype=np.uint64)
@@ -198,6 +200,34 @@ class _Native:
         out = np.zeros((n, 3, 4), dtype=np.uint64)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.bn254_g1_mul_batch(base.ctypes.data_as(u64p),
+                               scalars.ctypes.data_as(u64p), n,
+                               out.ctypes.data_as(u64p))
+        return out
+
+    def bn254_msm_g2(self, points: np.ndarray,
+                     scalars: np.ndarray) -> np.ndarray:
+        """points (n, 16) (x.re‖x.im‖y.re‖y.im limbs), scalars (n, 4) →
+        (6, 4) Jacobian over Fp2 (X.re X.im Y.re Y.im Z.re Z.im)."""
+        lib = _load()
+        points = np.ascontiguousarray(points, dtype=np.uint64)
+        scalars = np.ascontiguousarray(scalars, dtype=np.uint64)
+        out = np.zeros((6, 4), dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn254_msm_g2(points.ctypes.data_as(u64p),
+                         scalars.ctypes.data_as(u64p), points.shape[0],
+                         out.ctypes.data_as(u64p))
+        return out
+
+    def bn254_g2_mul_batch(self, base: np.ndarray,
+                           scalars: np.ndarray) -> np.ndarray:
+        """base (16,), scalars (n, 4) → (n, 6, 4) Jacobian-Fp2 points."""
+        lib = _load()
+        base = np.ascontiguousarray(base, dtype=np.uint64)
+        scalars = np.ascontiguousarray(scalars, dtype=np.uint64)
+        n = scalars.shape[0]
+        out = np.zeros((n, 6, 4), dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn254_g2_mul_batch(base.ctypes.data_as(u64p),
                                scalars.ctypes.data_as(u64p), n,
                                out.ctypes.data_as(u64p))
         return out

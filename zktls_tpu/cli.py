@@ -89,7 +89,18 @@ def cmd_prove(args) -> int:
         prover = StarkGuestProver()
 
     output, proof = prover.prove(guest_input)
-    if getattr(args, "compress", False) and proof:
+    if getattr(args, "wrap", False) and proof:
+        if not hasattr(prover, "wrap"):
+            print("error: --wrap needs the stark prover", file=sys.stderr)
+            return 2
+        log.info("wrapping: compress -> shrink -> Groth16 (the "
+                 "reference's core->compress->shrink->wrap pipeline)")
+        timings: dict = {}
+        proof = prover.wrap(output, proof, timings=timings)
+        log.info("wrap timings: %s", timings)
+        assert prover.verify_wrapped(output, proof)
+        log.info("Groth16 seal verified (pairing check)")
+    elif getattr(args, "compress", False) and proof:
         if not hasattr(prover, "compress"):
             print("error: --compress needs the stark prover",
                   file=sys.stderr)
@@ -165,6 +176,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="wrap the machine proof in the recursion layer "
                     "(verifier-VM proof, O(queries) verification against "
                     "the program vk)")
+    pr.add_argument("--wrap", action="store_true",
+                    help="full chain to a 256-byte Groth16 seal: "
+                    "compress -> shrink (BN254/MiMC) -> Groth16 "
+                    "(the STARK verifier is the circuit)")
     pr.add_argument("-o", "--output", help="write journal+proof JSON here")
     pr.set_defaults(func=cmd_prove)
 

@@ -600,20 +600,42 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         inv_x_gzeta = ex.ext_inv(ex.ext_sub(x_ext, gzeta_arr))
         pre_lde_d = d.get("pre_lde",
                           jnp.zeros((N, 0), jnp.uint32))
-        mat_z = jnp.concatenate([d["lde"], pre_lde_d, d["perm_lde"],
-                                 d["q_cols"]], axis=1)
-        mat_gz = jnp.concatenate([d["lde"], pre_lde_d, d["perm_lde"]],
-                                 axis=1)
         env = d["evals_np"]
-        ev_z = jnp.asarray(bb.np_to_mont(np.concatenate(
-            [env["tl"], env["el"], env["pl"], env["qe"]],
-            axis=0).astype(np.uint32)))
-        ev_gz = jnp.asarray(bb.np_to_mont(np.concatenate(
-            [env["tn"], env["en"], env["pn"]], axis=0).astype(np.uint32)))
-        bslice = jnp.asarray(
-            bpow_all[d["beta_off"] : d["beta_off"] + d["w_z"] + d["w_gz"]])
-        deep = _deep_fn(log_N, d["w_z"], d["w_gz"])(
-            mat_z, mat_gz, bslice, ev_z, ev_gz, inv_x_zeta, inv_x_gzeta)
+        chip_bytes = N * 4 * (2 * (inst.air.width
+                              + getattr(inst.air, "preprocessed_width", 0)
+                              + inst.air.perm_width)
+                              + int(d["q_cols"].shape[1]))
+        if chip_bytes > float(os.environ.get("ZKTLS_CHUNKED_DEEP_BYTES",
+                                             "2e9")):
+            # large chip: evaluate the DEEP matvecs per source matrix
+            # instead of concatenating them — the concat DOUBLES the
+            # chip's resident HBM right when everything else is live
+            # (the full-scale recursion VM chip OOMed here)
+            deep = _deep_chunked(
+                log_N,
+                [(d["lde"], env["tl"], env["tn"]),
+                 (pre_lde_d, env["el"], env["en"]),
+                 (d["perm_lde"], env["pl"], env["pn"]),
+                 (d["q_cols"], env["qe"], None)],
+                bpow_all, d["beta_off"], d["w_z"],
+                inv_x_zeta, inv_x_gzeta)
+        else:
+            mat_z = jnp.concatenate([d["lde"], pre_lde_d, d["perm_lde"],
+                                     d["q_cols"]], axis=1)
+            mat_gz = jnp.concatenate([d["lde"], pre_lde_d,
+                                      d["perm_lde"]], axis=1)
+            ev_z = jnp.asarray(bb.np_to_mont(np.concatenate(
+                [env["tl"], env["el"], env["pl"], env["qe"]],
+                axis=0).astype(np.uint32)))
+            ev_gz = jnp.asarray(bb.np_to_mont(np.concatenate(
+                [env["tn"], env["en"], env["pn"]],
+                axis=0).astype(np.uint32)))
+            bslice = jnp.asarray(
+                bpow_all[d["beta_off"]
+                         : d["beta_off"] + d["w_z"] + d["w_gz"]])
+            deep = _deep_fn(log_N, d["w_z"], d["w_gz"])(
+                mat_z, mat_gz, bslice, ev_z, ev_gz, inv_x_zeta,
+                inv_x_gzeta)
         if devices:
             deep = _jax.device_put(deep, devices[0])
         if log_N in deep_by_log:
@@ -772,6 +794,61 @@ def preprocessed_root(air: Air, preprocessed: np.ndarray, log_n_max: int,
     return [int(x)
             for x in MerkleTree(coset_lde(pre_m, config.log_blowup,
                                           s_i)).root]
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _deep_part_fn(log_N: int, w: int):
+    """One source matrix's contribution to a DEEP numerator:
+    Σ_j β_j·V_j(x) − Σ_j β_j·v_j, jitted per (domain, width)."""
+    import jax as _jax
+
+    @_jax.jit
+    def f(mat, betas, evals):
+        N = mat.shape[0]
+        comb = jnp.stack(
+            [bb.dot_mod(mat, jnp.broadcast_to(betas[None, :, ell],
+                                              mat.shape), axis=1)
+             for ell in range(4)], axis=-1)
+        prod = ex.ext_mul(betas[None, :, :], evals[None, :, :])
+        const = bb.sum_mod(prod[0], axis=0)
+        return ex.ext_sub(comb, jnp.broadcast_to(const[None, :], (N, 4)))
+
+    return f
+
+
+def _deep_chunked(log_N, parts, bpow_all, beta_off, w_z,
+                  inv_x_zeta, inv_x_gzeta):
+    """DEEP composition without concatenating the source matrices: each
+    (matrix, ζ-evals, g·ζ-evals) part contributes its β-sliced matvec to
+    the ζ / g·ζ numerators independently.  β ordering matches _deep_fn:
+    ζ-group [trace ‖ pre ‖ perm ‖ quotient] at offsets [beta_off, …),
+    g·ζ-group [trace ‖ pre ‖ perm] continuing at beta_off + w_z."""
+    num_z = None
+    num_gz = None
+    off_z = beta_off
+    off_gz = beta_off + w_z
+    for mat, ev_z_np, ev_gz_np in parts:
+        w = int(mat.shape[1])
+        if w == 0:
+            continue
+        betas_z = jnp.asarray(bpow_all[off_z : off_z + w])
+        ev_z = jnp.asarray(bb.np_to_mont(
+            np.asarray(ev_z_np).astype(np.uint32)))
+        part = _deep_part_fn(log_N, w)(mat, betas_z, ev_z)
+        num_z = part if num_z is None else ex.ext_add(num_z, part)
+        off_z += w
+        if ev_gz_np is not None:
+            betas_gz = jnp.asarray(bpow_all[off_gz : off_gz + w])
+            ev_gz = jnp.asarray(bb.np_to_mont(
+                np.asarray(ev_gz_np).astype(np.uint32)))
+            part = _deep_part_fn(log_N, w)(mat, betas_gz, ev_gz)
+            num_gz = part if num_gz is None else ex.ext_add(num_gz, part)
+            off_gz += w
+    return ex.ext_add(ex.ext_mul(num_z, inv_x_zeta),
+                      ex.ext_mul(num_gz, inv_x_gzeta))
 
 
 def _count_constraints_machine(air: Air, publics_full: list[int],

@@ -753,17 +753,24 @@ def eval_quotient_vm(air, lde, perm_lde, challenges, publics_full,
         np.array(acc0.c, dtype=np.uint32)))
 
     N = lde.shape[0]
-    next_lde = jnp.roll(lde, -(1 << log_blowup), axis=0)
-    if perm_lde.shape[1]:
-        next_perm = jnp.roll(perm_lde, -(1 << log_blowup), axis=0)
-    else:
-        next_perm = perm_lde
+    # host-spilled matrices (numpy) stream up per block; device matrices
+    # pre-materialize their rolled view once
+    spilled = isinstance(lde, np.ndarray)
+    shift = 1 << log_blowup
     if pre_lde is None:
-        pre_lde = jnp.zeros((N, 0), jnp.uint32)
-    if pre_lde.shape[1]:
-        next_pre = jnp.roll(pre_lde, -(1 << log_blowup), axis=0)
+        pre_lde = (np.zeros((N, 0), np.uint32) if spilled
+                   else jnp.zeros((N, 0), jnp.uint32))
+    if spilled:
+        def nxt_blk(mat, r0, B_):
+            idx = (np.arange(r0, r0 + B_) + shift) % N
+            return mat[idx]
+        next_lde = next_perm = next_pre = None
     else:
-        next_pre = pre_lde
+        next_lde = jnp.roll(lde, -shift, axis=0)
+        next_perm = (jnp.roll(perm_lde, -shift, axis=0)
+                     if perm_lde.shape[1] else perm_lde)
+        next_pre = (jnp.roll(pre_lde, -shift, axis=0)
+                    if pre_lde.shape[1] else pre_lde)
     sels_blk_full = jnp.stack(
         [sels_m["is_first_row"], sels_m["is_last_row"],
          sels_m["is_transition"]], axis=1)                   # (N, 3)
@@ -780,11 +787,18 @@ def eval_quotient_vm(air, lde, perm_lde, challenges, publics_full,
     apow_j = jnp.asarray(apow_plain.astype(np.uint32))
     accs = []
     for r0 in range(0, N, B):
-        accs.append(fn(
-            lde[r0 : r0 + B], next_lde[r0 : r0 + B],
-            perm_lde[r0 : r0 + B], next_perm[r0 : r0 + B],
-            sels_blk_full[r0 : r0 + B], periodic_full[r0 : r0 + B],
-            pre_lde[r0 : r0 + B], next_pre[r0 : r0 + B],
-            s_mont, apow_j, acc0_m))
+        if spilled:
+            args = (lde[r0 : r0 + B], nxt_blk(lde, r0, B),
+                    perm_lde[r0 : r0 + B], nxt_blk(perm_lde, r0, B),
+                    sels_blk_full[r0 : r0 + B],
+                    periodic_full[r0 : r0 + B],
+                    pre_lde[r0 : r0 + B], nxt_blk(pre_lde, r0, B))
+        else:
+            args = (lde[r0 : r0 + B], next_lde[r0 : r0 + B],
+                    perm_lde[r0 : r0 + B], next_perm[r0 : r0 + B],
+                    sels_blk_full[r0 : r0 + B],
+                    periodic_full[r0 : r0 + B],
+                    pre_lde[r0 : r0 + B], next_pre[r0 : r0 + B])
+        accs.append(fn(*args, s_mont, apow_j, acc0_m))
     acc = jnp.concatenate(accs, axis=0) if len(accs) > 1 else accs[0]
     return ex.ext_scale(acc, inv_zh_m)

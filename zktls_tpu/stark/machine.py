@@ -384,11 +384,33 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
             # finish this chip (and free its temporaries) before the next
             root = [int(x) for x in tree.root]
             per[name]["trace_root"] = root
+    def _spill(d, keys):
+        # host-spill mode: very large chips keep their committed
+        # extensions on HOST (Montgomery numpy) and stream blocks back up
+        # on demand (quotient blocks, chunked DEEP) — the full-scale
+        # recursion VM chip (2^23 rows, 14+ GB of matrices) cannot keep
+        # everything resident on one 16 GB chip
+        limit = float(os.environ.get("ZKTLS_SPILL_BYTES", "4e9"))
+        if devices or mesh is not None:
+            return
+        total = sum(int(np.prod(d[k].shape)) * 4 for k in keys if k in d)
+        if total <= limit:
+            return
+        for k in keys:
+            if k in d and not isinstance(d[k], np.ndarray):
+                d[k] = np.asarray(d[k])
+        for tk in ("trace_tree", "pre_tree", "perm_tree", "q_tree"):
+            t = d.get(tk)
+            if t is not None and getattr(t, "levels", None) is not None:
+                t.levels_np
+                t.levels = None
+
     for inst, log_n in metas:
         d = per[inst.air.name]
         if "trace_root" not in d:
             d["trace_root"] = [int(x) for x in d["trace_tree"].root]
         ch.observe_many(d["trace_root"])
+        _spill(d, ("lde", "pre_lde"))
     _mark("lde_commit")
 
     # 2. machine challenges + perm commits + bus sums --------------------
@@ -433,6 +455,7 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         else:
             perm_root = None
         d["perm_root"] = perm_root
+        _spill(d, ("lde", "pre_lde", "perm_lde"))
     chal_m = jnp.asarray(bb.np_to_mont(np.array(
         [c.c for c in challenges], dtype=np.uint32).reshape(-1, 4)))
     _mark("perm_commit")
@@ -516,6 +539,7 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         q_root = [int(x) for x in d["q_tree"].root]
         ch.observe_many(q_root)
         d["q_root"] = q_root
+        _spill(d, ("lde", "pre_lde", "perm_lde", "q_cols"))
     _mark("quotient")
 
     # 4. out-of-domain openings -------------------------------------------
@@ -699,16 +723,22 @@ def prove_machine(chips: list[ChipInstance], binding: bytes,
         name = inst.air.name
         d = per[name]
         N_i = 1 << (log_n + config.log_blowup)
-        idx = jnp.asarray(np.array([q % N_i for q in q_indices],
-                                   dtype=np.int32))
+        idx_np = np.array([q % N_i for q in q_indices], dtype=np.int32)
+        idx = (idx_np if isinstance(d["lde"], np.ndarray)
+               else jnp.asarray(idx_np))
+
+        def _rows(mat):
+            if isinstance(mat, np.ndarray):
+                return bb.np_from_mont(mat[idx_np])
+            return bb.np_from_mont(np.asarray(mat[idx]))
+
         rows_by_chip[name] = {
-            "idx": [q % N_i for q in q_indices],
-            "trace": bb.np_from_mont(np.asarray(d["lde"][idx])),
-            "quot": bb.np_from_mont(np.asarray(d["q_cols"][idx])),
-            "perm": (bb.np_from_mont(np.asarray(d["perm_lde"][idx]))
+            "idx": [int(j) for j in idx_np],
+            "trace": _rows(d["lde"]),
+            "quot": _rows(d["q_cols"]),
+            "perm": (_rows(d["perm_lde"])
                      if inst.air.perm_width else None),
-            "pre": (bb.np_from_mont(np.asarray(d["pre_lde"][idx]))
-                    if "pre_lde" in d else None),
+            "pre": (_rows(d["pre_lde"]) if "pre_lde" in d else None),
         }
 
     # per-layer FRI pair gathers

@@ -172,3 +172,25 @@ def test_machine_rejects_tampered_public():
     proof.fri_final[0] = v + Fp4(1)
     with pytest.raises(VerificationError):
         verify_machine(AIRS, proof, BINDING, RECEIVES, CFG)
+
+
+def test_spill_and_chunked_deep_byte_identical(monkeypatch):
+    """Host-spill mode and chunked DEEP are pure memory-management
+    strategies: proof bytes must be identical to the resident path."""
+    from zktls_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
+    from zktls_tpu.stark.config import StarkConfig
+    from zktls_tpu.stark.machine import ChipInstance, prove_machine
+
+    cfg = StarkConfig(log_blowup=2, num_queries=3, pow_bits=0,
+                      fri_final_size=16)
+    trace, pub = fibonacci_trace(5)
+
+    def mk():
+        return [ChipInstance(air=FibonacciAir(), trace=trace,
+                             publics=pub)]
+
+    base = prove_machine(mk(), binding=b"spill", config=cfg).to_bytes()
+    monkeypatch.setenv("ZKTLS_SPILL_BYTES", "0")
+    monkeypatch.setenv("ZKTLS_CHUNKED_DEEP_BYTES", "0")
+    assert prove_machine(mk(), binding=b"spill",
+                         config=cfg).to_bytes() == base

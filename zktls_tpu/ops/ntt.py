@@ -64,20 +64,21 @@ def _twiddles(log_n: int, inverse: bool) -> tuple[np.ndarray, ...]:
 @lru_cache(maxsize=None)
 def _ntt_fn(log_n: int, inverse: bool):
     """Build the jitted size-2^log_n transform (cached; jax.jit re-traces per
-    column count automatically)."""
+    column count automatically).  The bit-reversal permutation and the
+    twiddle tables enter as ARGUMENTS, not closure constants — at 2^25
+    they are hundreds of MB, and baking them into the program made the
+    serialized executable exceed the remote-compile transport limit."""
     n = 1 << log_n
-    rev = bitrev_indices(log_n)
-    tables = _twiddles(log_n, inverse)
     n_inv_m = int(bb.np_to_mont(
         np.array([pow(n, P - 2, P)], dtype=np.uint32))[0])
 
     @jax.jit
-    def f(x):
+    def f(x, rev, tws):
         cols = x.shape[1]
         x = x[rev]
         for s in range(log_n):
             m = 1 << s
-            tw = jnp.asarray(tables[s])[None, :, None]  # (1, m, 1)
+            tw = tws[s][None, :, None]                  # (1, m, 1)
             v = x.reshape(n // (2 * m), 2, m, cols)
             a = v[:, 0]
             b = bb.mul(v[:, 1], tw)
@@ -89,9 +90,63 @@ def _ntt_fn(log_n: int, inverse: bool):
     return f
 
 
+@lru_cache(maxsize=None)
+def _ntt_args_dev(log_n: int, inverse: bool):
+    """Device-resident (rev, twiddles) argument pytree per size."""
+    rev = jnp.asarray(bitrev_indices(log_n))
+    tws = tuple(jnp.asarray(t) for t in _twiddles(log_n, inverse))
+    return rev, tws
+
+
+@lru_cache(maxsize=None)
+def _four_step_tw(log_n: int, inverse: bool) -> np.ndarray:
+    """(n1, n2) twiddle matrix w_n^{j2·k1} for the four-step split,
+    Montgomery form (host-cached; enters device as an argument)."""
+    log1 = (log_n + 1) // 2
+    n1, n2 = 1 << log1, 1 << (log_n - log1)
+    w = two_adic_root(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    base = np.empty(n1, dtype=np.uint64)
+    acc = 1
+    for k1 in range(n1):
+        base[k1] = acc
+        acc = acc * w % P
+    tw = np.empty((n1, n2), dtype=np.uint64)
+    tw[:, 0] = 1
+    for j2 in range(1, n2):
+        tw[:, j2] = tw[:, j2 - 1] * base % P
+    return bb.np_to_mont(tw.astype(np.uint32))
+
+
+_FOUR_STEP_LOG = 23
+
+
+def _ntt_four_step(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
+    """n = n1·n2 split: column NTTs (size n1), twiddle multiply, row NTTs
+    (size n2).  Each compiled program is a sub-size transform — the
+    tunneled compile service cannot build the monolithic ≥2^25 program."""
+    n = 1 << log_n
+    cols = x.shape[1]
+    log1 = (log_n + 1) // 2
+    n1, n2 = 1 << log1, 1 << (log_n - log1)
+    a = x.reshape(n1, n2 * cols)
+    a = ntt(a, inverse=inverse)                      # size-n1 transforms
+    tw = jnp.asarray(_four_step_tw(log_n, inverse))  # (n1, n2)
+    a = bb.mul(a.reshape(n1, n2, cols), tw[:, :, None])
+    a = jnp.transpose(a, (1, 0, 2)).reshape(n2, n1 * cols)
+    a = ntt(a, inverse=inverse)                      # size-n2 transforms
+    # in-order output: element [k2, k1] sits at index k1 + n1·k2 — the
+    # C-order reshape of the (n2, n1) layout is exactly that
+    return a.reshape(n, cols)
+
+
 def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """In-order -> in-order NTT along axis 0; x is (n,) or (n, C) in
-    Montgomery form.  inverse=True includes the 1/n scaling."""
+    Montgomery form.  inverse=True includes the 1/n scaling (distributed
+    across the sub-transforms on the four-step path)."""
+    import os as _os
+
     n = x.shape[0]
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
@@ -99,7 +154,12 @@ def ntt(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
-    out = _ntt_fn(log_n, inverse)(x)
+    if log_n >= int(_os.environ.get("ZKTLS_NTT_FOUR_STEP_LOG",
+                                    _FOUR_STEP_LOG)):
+        out = _ntt_four_step(x, log_n, inverse)
+    else:
+        rev, tws = _ntt_args_dev(log_n, inverse)
+        out = _ntt_fn(log_n, inverse)(x, rev, tws)
     return out[:, 0] if squeeze else out
 
 

@@ -39,8 +39,26 @@ def wait_device(tries=60):
     raise SystemExit("no device")
 
 
+STATE = pathlib.Path("/tmp/compress_state")
+
+
 def main():
+    # two phases in SEPARATE processes: the tunneled worker does not
+    # reliably release the inner prove's buffers (and a failed compile
+    # wedges the helper), so the outer prove needs a fresh process
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if phase == "all":
+        import subprocess
+
+        for ph in ("inner", "outer"):
+            r = subprocess.run([sys.executable, __file__, ph])
+            if r.returncode != 0:
+                raise SystemExit(r.returncode)
+        return
+
     out = {}
+    if STATE.with_suffix(".json").exists() and phase == "outer":
+        out = json.loads(STATE.with_suffix(".json").read_text())
     dev = wait_device()
     out["device"] = str(dev)
     print("device:", dev, flush=True)
@@ -56,23 +74,39 @@ def main():
     from zktls_tpu.stark.config import StarkConfig
     from zktls_tpu.stark.machine import MachineProof, prove_machine
 
-    fx = ROOT.parent / ("reference/crates/guest-prover-sp1/testdata/"
-                        "guest_input0.cbor")
-    gi = LegacyGuestInput.from_cbor(fx.read_bytes()).to_guest_input()
-
     inner_q = int(os.environ.get("ZKTLS_COMPRESS_INNER_Q", "36"))
     cfg = StarkConfig(num_queries=inner_q)
-    t0 = time.time()
-    gout = run_guest(gi)
-    chips = build_chip_instances(gout)
-    out["witness_s"] = round(time.time() - t0, 2)
-    out["chips"] = {c.air.name: [int(c.trace.shape[0]),
-                                 int(c.trace.shape[1])] for c in chips}
-    t0 = time.time()
-    proof = prove_machine(chips, binding=gout.journal, config=cfg)
-    out["inner_prove_s"] = round(time.time() - t0, 2)
-    out["inner_q"] = inner_q
-    print("inner proved:", out["inner_prove_s"], "s", flush=True)
+
+    if phase == "inner":
+        fx = ROOT.parent / ("reference/crates/guest-prover-sp1/testdata/"
+                            "guest_input0.cbor")
+        gi = LegacyGuestInput.from_cbor(fx.read_bytes()).to_guest_input()
+        t0 = time.time()
+        gout = run_guest(gi)
+        chips = build_chip_instances(gout)
+        out["witness_s"] = round(time.time() - t0, 2)
+        out["chips"] = {c.air.name: [int(c.trace.shape[0]),
+                                     int(c.trace.shape[1])]
+                        for c in chips}
+        t0 = time.time()
+        proof = prove_machine(chips, binding=gout.journal, config=cfg)
+        out["inner_prove_s"] = round(time.time() - t0, 2)
+        out["inner_q"] = inner_q
+        print("inner proved:", out["inner_prove_s"], "s", flush=True)
+        STATE.with_suffix(".proof").write_bytes(proof.to_bytes())
+        STATE.with_suffix(".journal").write_bytes(gout.journal)
+        STATE.with_suffix(".json").write_text(json.dumps(out))
+        return
+
+    # phase == "outer"
+    proof = MachineProof.from_bytes(STATE.with_suffix(".proof").read_bytes())
+    journal = STATE.with_suffix(".journal").read_bytes()
+
+    class _G:
+        pass
+
+    gout = _G()
+    gout.journal = journal
 
     from zktls_tpu.stark.recursion import (
         MachineShape,
@@ -130,6 +164,7 @@ def main():
 
     (ROOT / "COMPRESS_SCALE.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
+    STATE.with_suffix(".json").write_text(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -50,11 +50,22 @@ def main():
     if phase == "all":
         import subprocess
 
-        for ph in ("inner", "outer"):
-            r = subprocess.run([sys.executable, __file__, ph])
-            if r.returncode != 0:
-                raise SystemExit(r.returncode)
-        return
+        r = subprocess.run([sys.executable, __file__, "inner"])
+        if r.returncode != 0:
+            raise SystemExit(r.returncode)
+        # the tunneled compile helper dies (HTTP 500) when asked to
+        # compile while the worker carries a large live working set —
+        # but every completed compile persists in the cache, so each
+        # fresh-process retry gets strictly further until the whole
+        # pipeline is warm
+        for attempt in range(10):
+            r = subprocess.run([sys.executable, __file__, "outer"])
+            if r.returncode == 0:
+                return
+            print(f"outer attempt {attempt + 1} failed "
+                  f"(rc {r.returncode}); retrying fresh", flush=True)
+            time.sleep(30)
+        raise SystemExit(1)
 
     out = {}
     if STATE.with_suffix(".json").exists() and phase == "outer":
@@ -138,6 +149,10 @@ def main():
                                        int(c.trace.shape[1])]
                           for c in ochips}
     print("outer chips:", out["outer_chips"], flush=True)
+    # partial record: the program-scale numbers stand even if the outer
+    # prove attempt dies warming the compile cache
+    out["outer_prove_s"] = None
+    (ROOT / "COMPRESS_SCALE.json").write_text(json.dumps(out, indent=2))
     timings = {}
     outer_binding = gout.journal + shape.to_bytes()
     t0 = time.time()

@@ -154,16 +154,22 @@ def main() -> None:
 
     # one untimed cached run first (standard warm-up discipline: the run
     # right after the compile pass still pays persistent-cache writes and
-    # tunnel-session jitter), then ONE timed steady-state run — the single
-    # defined headline measurement (ADVICE r3: no min() across runs).
+    # tunnel-session jitter), then THREE timed steady-state runs with the
+    # MEDIAN as the headline — the tunnel's run-to-run jitter reached
+    # ±60% on a degraded worker (r5), so a single draw is not a
+    # measurement; all three values are reported (no min(), ADVICE r3).
     prove_machine(chips, binding=out.journal, config=cfg)
-    t0 = time.time()
-    proof = prove_machine(chips, binding=out.journal, config=cfg)
-    t_prove = time.time() - t0
-    RESULT["prove_s"] = round(t_prove, 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        proof = prove_machine(chips, binding=out.journal, config=cfg)
+        runs.append(round(time.time() - t0, 3))
+    t_prove = sorted(runs)[1]
+    RESULT["prove_s"] = t_prove
+    RESULT["prove_runs_s"] = runs
     proof_bytes = proof.to_bytes()
     RESULT["proof_bytes"] = len(proof_bytes)
-    log(f"machine prove (steady-state): {t_prove:.2f}s, "
+    log(f"machine prove (steady-state): median {t_prove:.2f}s of {runs}, "
         f"proof {len(proof_bytes)} B")
 
     # ---- host verification ----------------------------------------------

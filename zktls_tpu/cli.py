@@ -5,6 +5,7 @@ commands/prove.rs:14-48):
 
   zktls prove -i <request.json> -t <chain> [-p <prover>]
               [--mock | --local | --tpu]  [--fixture <recorded.cbor>]
+              [--compress | --wrap]
   zktls export-verifier -t <chain> -p <prover> -o <dir>
 
 Differences by design: the prover backend is this framework's TPU STARK

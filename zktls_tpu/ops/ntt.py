@@ -91,11 +91,24 @@ def _ntt_fn(log_n: int, inverse: bool):
 
 
 @lru_cache(maxsize=None)
-def _ntt_args_dev(log_n: int, inverse: bool):
-    """Device-resident (rev, twiddles) argument pytree per size."""
+def _ntt_args_dev_cached(log_n: int, inverse: bool):
     rev = jnp.asarray(bitrev_indices(log_n))
     tws = tuple(jnp.asarray(t) for t in _twiddles(log_n, inverse))
     return rev, tws
+
+
+def _ntt_args_dev(log_n: int, inverse: bool):
+    """(rev, twiddles) argument pytree per size.  Device-resident at top
+    level (avoids a host→device upload per call); under an enclosing jit
+    trace it returns HOST numpy instead — materializing device arrays
+    mid-trace would cache leaked tracers (they become embedded constants
+    of the outer program, which is fine at the inner-transform sizes the
+    four-step split produces)."""
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():
+        return bitrev_indices(log_n), tuple(_twiddles(log_n, inverse))
+    return _ntt_args_dev_cached(log_n, inverse)
 
 
 @lru_cache(maxsize=None)

@@ -29,7 +29,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import babybear as bb
 from ..ops.field_ref import P as FIELD_P, two_adic_root
-from ..ops.ntt import _ntt_fn  # size-cached local transforms
+from ..ops.ntt import _ntt_fn, _twiddles, bitrev_indices
+
+
+@lru_cache(maxsize=None)
+def _ntt_args_np(log_n: int):
+    """HOST-side (rev, twiddles) argument pytree per size.  Numpy on
+    purpose: _local_ntt is called inside the sharded-LDE jit trace, and
+    device arrays materialized there would leak tracers into the
+    lru_cache (ops.ntt._ntt_args_dev is for top-level callers only)."""
+    return bitrev_indices(log_n), tuple(_twiddles(log_n, False))
+
+
+def _local_ntt(log_n: int, x):
+    """Size-2^log_n forward transform with its argument pytree (the
+    bit-reversal and twiddles enter as arguments since the huge-domain
+    rework — see ops/ntt._ntt_fn)."""
+    rev, tws = _ntt_args_np(log_n)
+    return _ntt_fn(log_n, False)(x, rev, tws)
 
 __all__ = ["ntt_sharded", "make_ntt_sharded"]
 
@@ -62,7 +79,7 @@ def _four_step(x: jnp.ndarray, log_n1: int, log_n2: int,
     if shard_spec is not None:
         m = jax.lax.with_sharding_constraint(m, shard_spec)
     # step 1: NTT along j2 for every j1 row -> transform columns of M^T
-    a = _ntt_fn(log_n2, False)(m.T).T   # (n1, n2), rows j1, cols k2
+    a = _local_ntt(log_n2, m.T).T   # (n1, n2), rows j1, cols k2
     # step 2: twiddles
     tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, False))
     b = bb.mul(a, tw)
@@ -70,7 +87,7 @@ def _four_step(x: jnp.ndarray, log_n1: int, log_n2: int,
     # all-to-all here)
     if shard_spec is not None:
         b = jax.lax.with_sharding_constraint(b, shard_spec)
-    o = _ntt_fn(log_n1, False)(b)       # rows k1, cols k2
+    o = _local_ntt(log_n1, b)       # rows k1, cols k2
     return o.reshape(n)                 # X[n2·k1 + k2] row-major
 
 
@@ -126,15 +143,14 @@ def _four_step_cols(x: jnp.ndarray, log_n1: int, log_n2: int,
     if shard_spec is not None:
         m = jax.lax.with_sharding_constraint(m, shard_spec)
     # step 1: NTT along j2 (axis 1) — flatten (j1, c) into the batch
-    a = _ntt_fn(log_n2, False)(
-        m.transpose(1, 0, 2).reshape(n2, n1 * C))
+    a = _local_ntt(log_n2, m.transpose(1, 0, 2).reshape(n2, n1 * C))
     a = a.reshape(n2, n1, C).transpose(1, 0, 2)     # (j1, k2, c)
     tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, False))[:, :, None]
     b = bb.mul(a, tw)
     if shard_spec is not None:
         b = jax.lax.with_sharding_constraint(b, shard_spec)
     # step 3: NTT along j1 (axis 0)
-    o = _ntt_fn(log_n1, False)(b.reshape(n1, n2 * C))
+    o = _local_ntt(log_n1, b.reshape(n1, n2 * C))
     return o.reshape(n1, n2, C).reshape(n, C)       # X[n2 k1 + k2, c]
 
 

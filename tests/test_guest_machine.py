@@ -103,6 +103,37 @@ def test_public_messages_match_journal(guest_out):
     assert sum(1 for *_x, m in msgs if m == -1) == 4
 
 
+def test_ec_schedule_in_session_chip_set(guest_out):
+    """Round-5 composition: the fixture session's chip set carries the EC
+    schedule chip (d·G / d·S dual ladder over the recorded mulmods, d·G
+    generator-pinned) and the whole machine balances on the bus."""
+    from zktls_tpu.ops.field_ref import Fp4
+    from zktls_tpu.stark.bus import MAX_PAYLOAD, bus_term, delta_powers
+
+    chips = build_chip_instances(guest_out)
+    names = [c.air.name for c in chips]
+    assert "EcScheduleAir" in names
+    ec = next(c for c in chips if c.air.name == "EcScheduleAir")
+    from zktls_tpu.stark.chips.ec import LAYOUT
+
+    # dual-lane ladder, generator-pinned lane 1, live rows present
+    assert ec.trace[0, LAYOUT["st"].start] == 1
+    assert ec.trace[0, LAYOUT["du"].start] == 1
+    assert ec.trace[0, LAYOUT["gb1"].start] == 1
+    chals = [Fp4(222, 111, 7, 3)] + delta_powers(Fp4(919, 29, 5, 8),
+                                                 MAX_PAYLOAD)
+    total = Fp4(0)
+    for inst in chips:
+        if inst.air.perm_width:
+            pt = inst.air.generate_perm_trace(inst.trace, inst.publics,
+                                              chals)
+            if getattr(inst.air, "has_bus", False):
+                total = total + Fp4(*[int(x) for x in pt[-1, -4:]])
+    for tag, payload, mult in journal_public_messages(guest_out.journal):
+        total = total + mult * bus_term(chals, tag, payload)
+    assert total == Fp4(0)
+
+
 @pytest.mark.skipif(not os.environ.get("ZKTLS_SLOW_TESTS"),
                     reason="full 6-chip machine prove (XLA compiles are "
                            "minutes on CPU); set ZKTLS_SLOW_TESTS=1")

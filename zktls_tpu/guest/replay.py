@@ -97,6 +97,11 @@ class ReplayResult:
     chacha_events: list = field(repr=False, default_factory=list)
     #: SHA-512 recorder for SHA-384 suites (None for SHA-256 suites)
     sha512_recorder: object | None = field(repr=False, default=None)
+    #: Weierstrass ECDHE witness (TLS 1.2 P-256/P-384): (curve, scalar,
+    #: server_point) — the EC schedule chip proves the d·G / d·S ladder
+    #: pair over the recorded mulmod events (stark/chips/ec.py); None for
+    #: x25519 sessions (Montgomery-ladder chip 📋)
+    ecdhe_weierstrass: tuple | None = field(repr=False, default=None)
     checks: dict[str, bool] = field(default_factory=dict)
 
     def all_checks_pass(self) -> bool:
@@ -243,6 +248,7 @@ def _replay_tls12(
     ckx_msg = ckx_msgs[0]
     ckx_point = ckx_msg.body[1 : 1 + ckx_msg.body[0]]
     # ECDHE private scalar is the next tape draw (size per negotiated group)
+    ecdhe_witness = None
     if skx.curve_id == 29:  # x25519 (RFC 7748)
         priv = tape.draw(32)
         checks["ckx_pubkey_from_tape"] = x25519_base(priv) == ckx_point
@@ -262,6 +268,7 @@ def _replay_tls12(
             raise ReplayError("ECDHE produced point at infinity")
         premaster = shared[0].to_bytes(curve.byte_len, "big")
         curve_name = curve.name
+        ecdhe_witness = (curve, scalar, server_point)
 
     # --- extended master secret (RFC 7627): session_hash over transcript
     # through ClientKeyExchange ---
@@ -427,6 +434,7 @@ def _replay_tls12(
         gcm_events=gcm_events,
         chacha_events=chacha_events,
         sha512_recorder=rec512,
+        ecdhe_weierstrass=ecdhe_witness,
         checks=checks,
     )
 

@@ -37,13 +37,21 @@ def _rsa_bits(m: int) -> int:
                      f"{m.bit_length()} bits")
 
 
-def modmul_instances(events) -> list[ChipInstance]:
+def modmul_instances(events, sends: dict | None = None
+                     ) -> list[ChipInstance]:
     """Route events to width-class chips; one ChipInstance per width that
     has events.  Every recorded modulus is covered: curve moduli by the
     one-hot 256/384 chips, anything else by a witnessed-modulus RSA
-    width."""
+    width.
+
+    sends: {(a, b, r, m): count} — BUS_MODMUL consumption counts from
+    composition chips (EC schedule, Poly1305 accounting); routed to the
+    fixed-moduli width chips, which publish each statement with the
+    matching multiplicity.  Counts whose modulus lands on an RSA width
+    raise (those chips have no bus)."""
     airs = {}
     buckets: dict[str, list] = {}
+    send_buckets: dict[str, dict] = {}
     for ev in events:
         if ev.m in _SET_256:
             air = modmul_air_256()
@@ -53,10 +61,24 @@ def modmul_instances(events) -> list[ChipInstance]:
             air = modmul_air_rsa(_rsa_bits(ev.m))
         airs[air.name] = air
         buckets.setdefault(air.name, []).append(ev)
+    for key, cnt in (sends or {}).items():
+        if not cnt:
+            continue
+        m = key[3]
+        if m in _SET_256:
+            name = modmul_air_256().name
+        elif m in _SET_384:
+            name = modmul_air_384().name
+        else:
+            raise ValueError("bus sends need a fixed-set modulus")
+        send_buckets.setdefault(name, {})[key] = cnt
     out = []
     for name, evs in sorted(buckets.items()):
         air = airs[name]
-        trace, publics = air.trace(evs)
+        kw = {}
+        if name in send_buckets:
+            kw["sends"] = send_buckets[name]
+        trace, publics = air.trace(evs, **kw)
         out.append(ChipInstance(air=air, trace=trace, publics=publics))
     return out
 

@@ -18,9 +18,11 @@ def sha256_air() -> Sha256Air:
     return _AIR
 
 
-def sha256_instance(events: list[CompressionEvent]) -> ChipInstance:
+def sha256_instance(events: list[CompressionEvent],
+                    hop_counts: dict | None = None) -> ChipInstance:
     """The SHA-256 chip's machine instance: every compression the guest
     performed, with obj/seq chaining metadata and tagged result digests
-    (journal hash, stream-tape hash) published on the bus."""
-    trace, publics = sha256_trace(events)
+    (journal hash, stream-tape hash) published on the bus.  hop_counts
+    routes BUS_SHA_HOP consumption from the key-schedule chip."""
+    trace, publics = sha256_trace(events, hop_counts=hop_counts)
     return ChipInstance(air=_AIR, trace=trace, publics=publics)

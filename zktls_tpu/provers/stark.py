@@ -19,9 +19,18 @@ What `verify(journal, proof)` checks (round-2 binding surface):
     GHASH chips is bus-enforced;
   * every chip's AIR constraints and the global bus balance hold.
 
-Known gaps (honest scope — round-3 work): ciphertext/plaintext bytes are
-not yet bound to the stream commitment (needs the record-parser chip), and
-ModMul events are proven but not yet bus-bound to an EC schedule.
+Round-5 composition (the handshake-algebra chain): the ModMul chips
+publish every proven mulmod on BUS_MODMUL; the EC schedule chip composes
+them into the ECDHE d·G / d·S dual ladder (d·G generator-pinned); the
+key-schedule chip consumes the d·S result as the premaster and proves the
+TLS 1.2 PRF chain premaster → master → key block via atomic SHA hop
+statements; the GCM control chip's TLS 1.2 AES-128 header rows
+mandatorily consume the derived session key + record-nonce salt
+(BUS_SESSION_KEY).  Remaining gaps (honest scope): binding the server
+key-exchange point S and the client public to the handshake transcript
+bytes (transcript-locator chip), x25519's Montgomery ladder (those
+sessions use a free-premaster key-schedule intake), SHA-384-suite and
+TLS 1.3 HKDF key schedules, and the certificate signature algebra.
 """
 
 from __future__ import annotations
@@ -54,6 +63,39 @@ def _filtered_multiplicities(journal: bytes, obj: int = 1) -> list[tuple]:
     return [(o, pos, cnt) for (o, pos), cnt in counts.items()]
 
 
+def _derive_ks_sessions(out: GuestOutput, obj: int = 1,
+                        ec_rid: int | None = 2,
+                        sid_base: int = 0x1000) -> list:
+    """Key-schedule witness for a session, when its suite is covered
+    (TLS 1.2, AES-128-GCM → SHA-256 PRF).  The GCM control chip's header
+    rows consume BUS_SESSION_KEY mandatorily for exactly these records,
+    so eligibility here must match the chip's g_kr gate."""
+    from ..stark.chips.ec import EC_CURVES
+    from ..stark.chips.keyschedule import KsSession
+
+    rep = out.replay
+    suite = rep.cipher_suite
+    if (rep.version != 0x0303 or getattr(suite, "aead", "") != "aes-gcm"
+            or getattr(suite, "key_len", 0) != 16):
+        return []
+    n_client = sum(1 for m in (out.gcm_metas or [])
+                   if getattr(m, "dir", "c") == "c")
+    n_server = len(out.gcm_metas or []) - n_client
+    kw = dict(n_client_records=n_client, n_server_records=n_server,
+              obj=obj, sid_base=sid_base)
+    ecd = getattr(rep, "ecdhe_weierstrass", None)
+    if ecd is not None and ecd[0] in EC_CURVES and ec_rid is not None:
+        curve, scalar, spoint = ecd
+        pt = curve.mul(scalar, spoint)
+        kw.update(ec_rid=ec_rid,
+                  ec_nbits=(scalar % curve.n).bit_length(), ec_point=pt)
+    # else: free-premaster intake (x25519 / P-384 — documented gap)
+    return [KsSession(rep.premaster_secret, rep.master_secret,
+                      b"extended master secret" + rep.session_hash,
+                      b"key expansion" + rep.server_random
+                      + rep.client_random, **kw)]
+
+
 def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
     """The machine chip set for a guest execution."""
     from ..models.aes128_chip import aes_instances
@@ -61,6 +103,10 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
     from ..models.modmul_chip import modmul_instances
     from ..models.sha256_chip import sha256_instance
     from ..stark.chips.gcm_data import GcmDataAir, gcm_data_trace
+    from ..stark.chips.keyschedule import (
+        KeyScheduleAir,
+        keyschedule_trace,
+    )
     from ..stark.chips.stream_parser import (
         StreamParserAir,
         parser_sessions_from_replay,
@@ -72,7 +118,19 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
         xor_use_counts,
     )
 
-    chips = [sha256_instance(out.replay.sha256_recorder.events)]
+    # key-schedule witness first: its SHA-hop and xor-table consumption
+    # feeds the other chips' multiplicities
+    ks_sessions = getattr(out, "ks_sessions", None)
+    if ks_sessions is None:
+        ks_sessions = _derive_ks_sessions(out)
+    ks_trace = None
+    hop_counts: dict = {}
+    ks_xor_pairs: list = []
+    if ks_sessions:
+        ks_trace, hop_counts, ks_xor_pairs = keyschedule_trace(ks_sessions)
+
+    chips = [sha256_instance(out.replay.sha256_recorder.events,
+                             hop_counts=hop_counts)]
     rec512 = getattr(out.replay, "sha512_recorder", None)
     if rec512 is not None and rec512.events:
         # SHA-384 suites: transcript/PRF/HKDF compressions on the SHA-512
@@ -106,7 +164,8 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
             out.gcm_metas, events, filtered=filtered)
         chips.append(ChipInstance(air=GcmDataAir(), trace=dtrace,
                                   publics=[]))
-        xtrace, _ = xor_table_trace(xor_use_counts(xor_pairs))
+        xtrace, _ = xor_table_trace(
+            xor_use_counts(list(xor_pairs) + ks_xor_pairs))
         chips.append(ChipInstance(air=XorTableAir(), trace=xtrace,
                                   publics=[]))
         # keccak chip: the journal's request/response hashes over the
@@ -136,8 +195,44 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
         ctrace, cpub = chacha_trace(chacha_event_blocks(chacha_events))
         chips.append(ChipInstance(air=ChaCha20Air(), trace=ctrace,
                                   publics=cpub))
+    # EC schedule: the ECDHE d·G / d·S dual ladder proven over the
+    # recorded mulmod statements (round-5 composition; BUS_MODMUL sends
+    # from the ModMul chips feed the ladder's receives).  The d·G lane is
+    # generator-pinned in-chip (gb); results are published for the
+    # key-schedule composition (premaster consumer 📋) — binding the
+    # server point S to the transcript is the documented locator gap.
+    from ..stark.chips.ec import (
+        EC_CURVES,
+        EcScheduleAir,
+        LadderJob,
+        ec_schedule_trace,
+    )
+
+    ec_pairs = getattr(out, "ec_jobs", None)
+    if ec_pairs is None:
+        ecd = getattr(out.replay, "ecdhe_weierstrass", None)
+        ec_pairs = [ecd] if ecd is not None else []
+    ks_linked = {s.ec_rid for s in ks_sessions if s.ec_rid is not None}
+    jobs = []
+    for i, pair in enumerate(ec_pairs):
+        curve, scalar, server_point = pair
+        if curve not in EC_CURVES:
+            continue  # P-384 ladder width class 📋
+        rid2 = 2 * i + 2
+        jobs.append(LadderJob(curve, scalar, curve.g, server_point,
+                              pb1=False, gb1=True,
+                              rid1=2 * i + 1, rid2=rid2,
+                              mres2=1 if rid2 in ks_linked else 0))
+    sends: dict = {}
+    if jobs:
+        etrace, sends = ec_schedule_trace(jobs)
+        chips.append(ChipInstance(air=EcScheduleAir(), trace=etrace,
+                                  publics=[]))
+    if ks_trace is not None:
+        chips.append(ChipInstance(air=KeyScheduleAir(), trace=ks_trace,
+                                  publics=[]))
     if out.modmul_events:
-        chips.extend(modmul_instances(out.modmul_events))
+        chips.extend(modmul_instances(out.modmul_events, sends=sends))
     return chips
 
 
@@ -160,9 +255,14 @@ def _air_registry() -> dict:
     from ..stark.chips.chacha import ChaCha20Air
     from ..stark.chips.sha512 import Sha512Air
 
+    from ..stark.chips.ec import EcScheduleAir
+    from ..stark.chips.keyschedule import KeyScheduleAir
+
     return {
         "KeccakAir": KeccakAir,
         "ChaCha20Air": ChaCha20Air,
+        "EcScheduleAir": EcScheduleAir,
+        "KeyScheduleAir": KeyScheduleAir,
         "Sha256Air": sha256_air,
         "Sha512Air": Sha512Air,
         "Aes128Air": aes128_air,
@@ -304,6 +404,8 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
     sha512_events = []
     gcm_events = []
     modmul_events = []
+    ec_jobs = []
+    ks_sessions = []
     metas = []
     sessions = []
     filtered = []
@@ -340,6 +442,17 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
         gcm_events.extend(out.replay.gcm_events)
         eid_off += len(out.replay.gcm_events)
         modmul_events.extend(out.modmul_events)
+        ecd = getattr(out.replay, "ecdhe_weierstrass", None)
+        from ..stark.chips.ec import EC_CURVES as _ECC
+
+        ec_rid = None
+        if ecd is not None:
+            ec_jobs.append(ecd)
+            if ecd[0] in _ECC:
+                ec_rid = 2 * (len(ec_jobs) - 1) + 2
+        ks_sessions.extend(_derive_ks_sessions(
+            out, obj=i + 1, ec_rid=ec_rid,
+            sid_base=0x1000 + 0x20 * i))
     rec.events = sha_events
     merged.replay.sha256_recorder = rec
     if sha512_events:
@@ -352,6 +465,8 @@ def merge_guest_outputs(outs: list[GuestOutput]) -> GuestOutput:
         merged.replay.sha512_recorder = None
     merged.replay.gcm_events = gcm_events
     merged.modmul_events = modmul_events
+    merged.ec_jobs = ec_jobs
+    merged.ks_sessions = ks_sessions
     merged.gcm_metas = metas
     merged.parser_sessions = sessions
     merged.filtered_mults = filtered

@@ -31,7 +31,10 @@ __all__ = [
     "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_SP16_CHAIN",
     "BUS_SP24_CHAIN", "BUS_HASH_ABS", "BUS_HASH_OUT", "BUS_HASH_ABS24",
     "BUS_HASH_OUT24", "BUS_VM_VAL",
-    "BUS_VM_INSTR", "BUS_VM_PUB", "BUS_AES_ENC", "BUS_GCM_H",
+    "BUS_VM_INSTR", "BUS_VM_PUB", "BUS_EC_BASE",
+    "BUS_EC_RESULT", "BUS_SESSION_KEY", "BUS_SHA_HOP", "BUS_KS_OUT",
+    "BUS_KS_PAD", "MODMUL_CLASS_384",
+    "BUS_AES_ENC", "BUS_GCM_H",
     "BUS_GCM_MASK", "BUS_GCM_TAG", "BUS_GCM_RECORD", "BUS_MODMUL",
     "BUS_SHA_BLOCK", "BUS_GCM_CT", "BUS_GCM_AAD", "BUS_GCM_LEN",
     "BUS_GCM_KS", "BUS_CT_BYTE", "BUS_PARSE_REC", "BUS_NONCE_BYTE",
@@ -71,7 +74,17 @@ BUS_GCM_TAG = 0x106
 #: (event_id, nonce 6×u16, tag 8×u16, n_blocks) — the public record header
 #: from the journal; the verifier sends it, the control chip receives it.
 BUS_GCM_RECORD = 0x107
-#: reserved for the EC schedule chip (round-3: bind modmul operands).
+#: (mclass, a k×u16, b k×u16, r k×u16) — one proven modular multiplication
+#: a·b ≡ r (mod m), published by a fixed-moduli ModMul width chip with a
+#: witnessed send multiplicity (k = limbs/2: 16 at the 256-bit width, 24
+#: at 384).  mclass is the chip-set modulus index (256-bit classes 0..,
+#: 384-bit classes offset by MODMUL_CLASS_384) so a multiplication can
+#: only satisfy a consumer expecting the same modulus.  Consumers: the EC
+#: schedule chip (group-law slopes/products), the Poly1305 accounting in
+#: the ChaCha record-control chip.  Sends of proven statements need no
+#: multiplicity range check: every row's payload is its own AIR-proven
+#: (a, b, r) event, so any net-positive send of a value implies a row
+#: proving it.
 BUS_MODMUL = 0x108
 #: (obj, seq, half, 16×u16) — one 32-byte half of a compression's message
 #: block, sent by the SHA chip for expose-flagged (xb) chains, received by
@@ -159,14 +172,54 @@ BUS_VM_INSTR = 0x11E
 #: sent by the VERIFIER, received by the VM's PUB row.  Keeps the
 #: program — and the vk — independent of journal content.
 BUS_VM_PUB = 0x121
+#: (bid, curve_class, x 16×u16, y 16×u16) — a PUBLIC base-point
+#: declaration for an EC ladder (e.g. the curve generator G), sent by
+#: the VERIFIER (+1), consumed by the EC schedule chip's start row —
+#: pinning the ladder's addend to a known point.  Witness bases (the
+#: server's key-exchange point) consume nothing; binding them to the
+#: handshake transcript is the documented transcript-locator gap.
+BUS_EC_BASE = 0x122
+#: (rid, curve_class, n_bits, x 16×u16, y 16×u16) — a finished ladder's
+#: result point (n_bits = scalar bit-length processed), published with a
+#: witnessed multiplicity for external consumers (the key-schedule
+#: chip's premaster input, the verifier).
+BUS_EC_RESULT = 0x123
+#: (obj, dir, kv, key 16×u16, iv 6×u16) — one direction's AEAD traffic
+#: key + static IV/salt, sent by the key-schedule chip (which proved its
+#: PRF/HKDF derivation), received by the record-control chips that use
+#: the key in their AES/ChaCha block messages.  Payload 25.
+BUS_SESSION_KEY = 0x125
+#: (in_state 16×u16, block 32×u16, out_state 16×u16) — ONE proven
+#: SHA-256 compression `compress(in, block) = out` as a self-contained
+#: value-level statement (no chain coordinates), sent by the SHA chip
+#: with a witnessed multiplicity.  Consumers (the key-schedule chip)
+#: walk Merkle–Damgård chains by VALUE — in_{k+1} = out_k — which is
+#: graft-proof: the (block, out) pair is atomic per compression, so no
+#: second chain sharing an (obj, seq) prefix can substitute its state.
+BUS_SHA_HOP = 0x126
+#: (sid, idx, value) — key-schedule internal dataflow: byte-pair `idx` of
+#: hash-object/secret `sid` (value = 256·b_{2i} + b_{2i+1}, big-endian
+#: pair), sent by producer rows (EC-result intake, HMAC output rows),
+#: received by secret-byte rows.
+BUS_KS_OUT = 0x127
+#: (sid, idx, padlimb) — byte-pair idx of secret sid xored with the HMAC
+#: opad (0x5c5c…), sent by secret rows (xor-table-proven), received by
+#: the key-schedule HMAC rows against their block limbs.
+BUS_KS_PAD = 0x128
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes
 RESULT_TAG_STREAM = 2    # digest of the full stream tape (in the journal)
 
-#: maximum payload length any message uses (CHACHA_BLOCK: 4 + 32 = 36;
-#: SHA512_STATE: 3 + 32 = 35; AES_ENC: 2 + 16 + 8 + 8 = 34)
-MAX_PAYLOAD = 36
+#: maximum payload length any message uses (MODMUL at the 384-bit width:
+#: 1 + 3·24 = 73; MODMUL-256: 1 + 3·16 = 49; CHACHA_BLOCK: 4 + 32 = 36;
+#: SHA512_STATE: 3 + 32 = 35; EC_STATE: 4 + 32 = 36)
+MAX_PAYLOAD = 73
+
+#: mclass offset of the 384-bit ModMul chip's modulus set (disjoint
+#: namespaces across width chips — payload lengths differ, so this is
+#: belt-and-braces against structured collisions)
+MODMUL_CLASS_384 = 16
 
 #: machine challenge vector: [γ, δ, δ², …, δ^MAX_PAYLOAD] — powers are
 #: host-precomputed so in-AIR fingerprints stay degree 1 in trace columns.

@@ -47,6 +47,7 @@ import numpy as np
 from ..air import Air, AirBuilder
 from ..bus import (
     BUS_AES_ENC,
+    BUS_SESSION_KEY,
     BUS_GCM_AAD,
     BUS_GCM_H,
     BUS_GCM_KS,
@@ -123,6 +124,17 @@ def _build_layout() -> _Layout:
     L.add("g_nv", 1)     # rt0·live·(1−v13)
     L.add("g_j0", 1)     # rt1·live
     L.add("g_ctr", 1)    # (1−rt0−rt1)·live
+    # round-5 key-schedule binding
+    L.add("obj", 1)      # session stream-object id (event-constant)
+    L.add("dirb", 1)     # record direction (1 = server→client).  Free
+    #                      witness, self-enforcing: the key-schedule chip
+    #                      publishes each direction's key under its dir,
+    #                      and only the true key satisfies the record's
+    #                      AES/GHASH tag constraints
+    L.add("g_kr", 1)     # g_nv·(1−kv): header rows of TLS 1.2 AES-128
+    #                      records MUST consume the derived session key
+    #                      (BUS_SESSION_KEY) — key + nonce salt pinned to
+    #                      the key-schedule chip's PRF outputs
     return L
 
 
@@ -134,8 +146,8 @@ class GcmControlAir(Air):
     num_public = 0
     max_constraint_degree = 3
     #: inv_aes ‖ inv_h ‖ inv_mask ‖ inv_rec ‖ inv_tag ‖ inv_prec ‖ inv_aad
-    #: ‖ inv_len ‖ inv_ks ‖ inv_nb×8 ‖ inv_tb×16 ‖ u ‖ acc
-    perm_width = 4 * (9 + 8 + 16 + 2)
+    #: ‖ inv_len ‖ inv_ks ‖ inv_nb×8 ‖ inv_tb×16 ‖ inv_skey ‖ u ‖ acc
+    perm_width = 4 * (9 + 8 + 16 + 3)
     num_perm_challenges = 2
     has_bus = True
 
@@ -151,7 +163,7 @@ class GcmControlAir(Air):
         rt0, rt1, live = loc("rt0"), loc("rt1"), loc("live")
         nrt0, nrt1 = nxt("rt0"), nxt("rt1")
         for c in (rt0, rt1, live, loc("c0"), loc("c1"), loc("v13"),
-                  loc("isr"), loc("kv")):
+                  loc("isr"), loc("kv"), loc("dirb")):
             b.assert_bool(c)
         for name, k in (("clb", 16), ("l13b", 16), ("rpad", 4), ("nbb", 8),
                         ("nb", 64), ("tb", 128)):
@@ -165,7 +177,8 @@ class GcmControlAir(Air):
 
         # event-constant columns (free only across a header boundary);
         # degree 3: is_transition · (1 − rt0') · Δ
-        ev_const = [("eid", 1), ("key", 8), ("key2", 8), ("kv", 1),
+        ev_const = [("eid", 1), ("obj", 1), ("dirb", 1), ("key", 8),
+                    ("key2", 8), ("kv", 1),
                     ("tag", 8), ("nonce", 6),
                     ("nblocks", 1), ("live", 1), ("seqv", 1), ("rtyp", 1),
                     ("v13", 1), ("isr", 1), ("ctlen", 1), ("clb", 16),
@@ -182,6 +195,7 @@ class GcmControlAir(Air):
         b.assert_zero(loc("g_nv") - loc("g_hdr") * (1 - loc("v13")))
         b.assert_zero(loc("g_j0") - rt1 * live)
         b.assert_zero(loc("g_ctr") - (1 - rt0 - rt1) * live)
+        b.assert_zero(loc("g_kr") - loc("g_nv") * (1 - loc("kv")))
         g_hdr, g_nv, g_j0, g_ctr = (loc("g_hdr"), loc("g_nv"),
                                     loc("g_j0"), loc("g_ctr"))
 
@@ -308,6 +322,15 @@ class GcmControlAir(Air):
         for j in range(8):
             fp_ks = fp_ks + dpow(2 + j) * loc("out", j)
 
+        # session-key receive: key limbs AND the TLS 1.2 nonce salt
+        # (nonce[0:4] = the key block's fixed IV) in one payload
+        fp_skey = (ExtVal.from_base(BUS_SESSION_KEY)
+                   + dpow(0) * loc("obj") + dpow(1) * loc("dirb")
+                   + dpow(2) * loc("kv")
+                   + dpow(19) * loc("nonce", 0) + dpow(20) * loc("nonce", 1))
+        for j in range(8):
+            fp_skey = fp_skey + dpow(3 + j) * loc("key", j) \
+                + dpow(11 + j) * loc("key2", j)
         inv_aes = b.perm_ext(0)
         inv_h = b.perm_ext(1)
         inv_mask = b.perm_ext(2)
@@ -341,10 +364,12 @@ class GcmControlAir(Air):
             b.assert_ext_zero(iv * (gamma - fp) - 1)
             inv_tb.append(iv)
 
-        u = b.perm_ext(33)
-        acc = b.perm_ext(34)
-        u_n = b.perm_ext(33, nxt=True)
-        acc_n = b.perm_ext(34, nxt=True)
+        inv_skey = b.perm_ext(33)
+        b.assert_ext_zero(inv_skey * (gamma - fp_skey) - 1)
+        u = b.perm_ext(34)
+        acc = b.perm_ext(35)
+        u_n = b.perm_ext(34, nxt=True)
+        acc_n = b.perm_ext(35, nxt=True)
         # header: sends H/AAD/LEN, receives journal record + GHASH tag +
         # parser record + parser tag bytes (+ nonce bytes when TLS 1.2);
         # J0 row: sends mask; counter rows: send keystream; every live
@@ -356,6 +381,7 @@ class GcmControlAir(Air):
             u_def = u_def - iv * g_hdr
         for iv in inv_nb:
             u_def = u_def - iv * g_nv
+        u_def = u_def - inv_skey * loc("g_kr")
         b.assert_ext_zero(u - u_def)
         b.assert_ext_zero((acc - u) * b.is_first_row)
         b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
@@ -438,12 +464,21 @@ class GcmControlAir(Air):
                 challenges, BUS_TAG_BYTE, np.stack(
                     [eid[:, 0], np.full(n, 15 - j, dtype=np.uint64), byte],
                     axis=1)))
+        obj = col1("obj")
+        dirb = col1("dirb")
+        skey_pl = np.concatenate(
+            [obj[:, None], dirb[:, None], kv[:, 0:1], key, key2,
+             nonce[:, 0:2],
+             np.zeros((n, 4), dtype=np.uint64)], axis=1)
+        inv_skey = np_bus_inverse_terms(challenges, BUS_SESSION_KEY,
+                                        skey_pl)
         rt0 = cols("rt0")
         rt1 = cols("rt1")
         live = cols("live")
         g_hdr = rt0 * live
         g_nv = g_hdr * (1 - v13[:, None])
         g_j0 = rt1 * live
+        g_kr = g_nv * (1 - kv[:, 0:1])
         g_ctr = (1 - rt0 - rt1) * live
         pos = ((inv_h.astype(np.uint64) + inv_aad.astype(np.uint64)
                 + inv_len.astype(np.uint64)) % P * g_hdr
@@ -456,12 +491,13 @@ class GcmControlAir(Air):
             neg = (neg + iv.astype(np.uint64) * g_hdr) % P
         for iv in nb_list:
             neg = (neg + iv.astype(np.uint64) * g_nv) % P
+        neg = (neg + inv_skey.astype(np.uint64) * g_kr) % P
         u = (pos + P - neg) % P
         acc = np.cumsum(u, axis=0) % P
         return np.concatenate(
             [inv_aes, inv_h, inv_mask, inv_rec, inv_tag, inv_prec,
-             inv_aad, inv_len, inv_ks] + nb_list + tb_list + [u, acc],
-            axis=1).astype(np.uint32)
+             inv_aad, inv_len, inv_ks] + nb_list + tb_list
+            + [inv_skey, u, acc], axis=1).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +575,9 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
         nonce_l = _limbs(ev.nonce)
         nb = len(ev.counter_blocks)
         m = meta_by_eid.get(eid)
-        base = dict(eid=eid, key=key_l, key2=key2_l, kv=kv, tag=tag_l,
+        base = dict(eid=eid, obj=getattr(m, "obj", 1) if m else 1,
+                    dirb=1 if (m and getattr(m, "dir", "c") == "s") else 0,
+                    key=key_l, key2=key2_l, kv=kv, tag=tag_l,
                     nonce=nonce_l,
                     nblocks=nb, live=1,
                     seqv=m.seqno if m else 0,
@@ -570,7 +608,8 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
         ctr_l = [0] * 6 + [i >> 16, i & 0xFFFF]
         c0 = 1 if i and (i - 1) & 0xFFFF == 0xFFFF else 0
         nbl = max(pad - 1, 0)
-        pad_rows.append(dict(eid=0, key=[0] * 8, key2=[0] * 8, kv=0,
+        pad_rows.append(dict(eid=0, obj=0, dirb=0, key=[0] * 8,
+                             key2=[0] * 8, kv=0,
                              tag=[0] * 8,
                              nonce=[0] * 6, nblocks=nbl,
                              live=0, rt0=0, rt1=0, cnt=i,
@@ -582,8 +621,8 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
 
     trace = np.zeros((n, L.width), dtype=np.uint32)
     for r, row in enumerate(rows):
-        for nm in ("rt0", "rt1", "live", "eid", "nblocks", "cnt", "seqv",
-                   "rtyp", "v13", "isr", "ctlen", "kv"):
+        for nm in ("rt0", "rt1", "live", "eid", "obj", "dirb", "nblocks",
+                   "cnt", "seqv", "rtyp", "v13", "isr", "ctlen", "kv"):
             trace[r, L[nm].start] = row[nm]
         for j in range(8):
             trace[r, L["key"].start + j] = row["key"][j]
@@ -617,6 +656,9 @@ def gcm_control_trace(events, metas=None, v13: bool = False,
         trace[r, L["g_j0"].start] = row["rt1"] * row["live"]
         trace[r, L["g_ctr"].start] = ((1 - row["rt0"] - row["rt1"])
                                       * row["live"])
+        trace[r, L["g_kr"].start] = (row["rt0"] * row["live"]
+                                     * (1 - row["v13"])
+                                     * (1 - row["kv"]))
         # inc32 carries into this row (meaningful only on counter rows
         # that follow another row; harmless elsewhere)
         if "c0" in row:

@@ -55,7 +55,8 @@ from ..ext_val import ExtVal
 
 __all__ = ["ModMulAir", "modmul_air_256", "modmul_air_384",
            "modmul_air_rsa", "MODULI_256", "MODULI_384", "ModMul256Air",
-           "modmul_trace"]
+           "modmul_trace", "modmul_class", "modmul_send_payload",
+           "u16le_limbs"]
 
 #: curve moduli proven at the 256-bit width: P-256 and secp256k1 base and
 #: scalar fields, plus the curve25519 field and the ed25519 group order
@@ -80,10 +81,11 @@ class ModMulAir(Air):
     num_perm_challenges = 1  # γ (plain byte range lookup)
 
     def __init__(self, limbs: int, moduli: list[int] | None,
-                 name: str) -> None:
+                 name: str, class_offset: int = 0) -> None:
         self.limbs = limbs
         self.moduli = list(moduli) if moduli is not None else None
         self.name = name
+        self.class_offset = class_offset
         L = limbs
         self.n_coeff = 2 * L - 1
         self.n_carry = self.n_coeff - 1
@@ -121,13 +123,21 @@ class ModMulAir(Air):
         add("e", L - 1)             # canonicity borrow bits (boolean)
         if self.moduli is not None:
             add("f", len(self.moduli))
+            add("ms", 1)            # bus send multiplicity (free witness)
         add("mult", 1)
         self.slices = sl
         self.width = pos
         if self.n_lookup_values % 2:
             raise AssertionError("lookup column count must be even")
         self.n_pairs = self.n_lookup_values // 2
-        self.perm_width = 4 * (self.n_pairs + 2)
+        # fixed-moduli chips publish every row's proven (mclass, a, b, r)
+        # on the global bus (BUS_MODMUL) with a witnessed multiplicity —
+        # the operand-level composition primitive consumed by the EC
+        # schedule and Poly1305 accounting chips.  Perm layout:
+        # [pair inverses | table inv | internal sum | send inv | bus acc]
+        self.has_bus = self.moduli is not None
+        self.perm_width = 4 * (self.n_pairs + 2
+                               + (2 if self.has_bus else 0))
         self.num_public = L
 
         # constant weight matrices of the point-evaluation identity,
@@ -252,6 +262,39 @@ class ModMulAir(Air):
         b.assert_ext_zero((s_next - s - term_next) * b.is_transition)
         b.assert_ext_zero(s * b.is_last_row)
 
+        # --- global-bus send: every row publishes its proven statement
+        # (mclass, a, b, r) as u16 limbs on BUS_MODMUL with the witnessed
+        # multiplicity ms.  ms needs no range check: the payload is the
+        # row's own AIR-proven event, so any net-positive send of a value
+        # implies a row proving it (see stark/bus.py).
+        if self.has_bus and len(b.challenges) >= 2 + 3 * (L // 2):
+            # (standalone uni-STARK use passes only γ — the chip then
+            # runs busless, mirrored by generate_perm_trace; the machine
+            # always passes the full [γ, δ…] vector)
+            from ..bus import BUS_MODMUL
+
+            ms = b.local[sl["ms"].start]
+            ms_n = b.next[sl["ms"].start]
+            nf = len(self.moduli)
+            mclass = b.dot_const(
+                F, [self.class_offset + i for i in range(nf)])
+            fp = ExtVal.from_base(BUS_MODMUL) + b.challenges[1] * mclass
+            k2 = L // 2
+            for gi, G in enumerate((A, B, R)):
+                for j in range(k2):
+                    limb = G[2 * j] + 256 * G[2 * j + 1]
+                    fp = fp + b.challenges[2 + k2 * gi + j] * limb
+            inv_send = b.perm_ext(self.n_pairs + 2)
+            acc = b.perm_ext(self.n_pairs + 3)
+            inv_send_n = b.perm_ext(self.n_pairs + 2, nxt=True)
+            acc_n = b.perm_ext(self.n_pairs + 3, nxt=True)
+            b.assert_ext_zero(inv_send * (gamma - fp) - 1)
+            b.assert_ext_zero((acc - ms * inv_send) * b.is_first_row)
+            b.assert_ext_zero(
+                (acc_n - acc - ms_n * inv_send_n) * b.is_transition)
+            for ell in range(4):
+                b.when_last_row(acc.c[ell] - b.public[L + ell])
+
     # ------------------------------------------------------------------
 
     def generate_perm_trace(self, main, public_values, challenges):
@@ -293,16 +336,49 @@ class ModMulAir(Air):
         out = np.zeros((n, self.perm_width), dtype=np.uint32)
         out[:, : 4 * self.n_pairs] = w.reshape(n, -1)
         out[:, 4 * self.n_pairs : 4 * self.n_pairs + 4] = inv_t
-        out[:, 4 * (self.n_pairs + 1):] = s.astype(np.uint64)
+        out[:, 4 * (self.n_pairs + 1) : 4 * (self.n_pairs + 2)] = \
+            s.astype(np.uint64)
+        if self.has_bus and len(challenges) >= 2 + 3 * (self.limbs // 2):
+            from ..bus import BUS_MODMUL, np_bus_inverse_terms
+
+            inv_send = np_bus_inverse_terms(
+                challenges, BUS_MODMUL, self._send_payloads(main))
+            ms = main[:, self.slices["ms"].start].astype(np.uint64)
+            acc = np.cumsum(
+                (inv_send.astype(np.uint64) * ms[:, None]) % P,
+                axis=0) % P
+            out[:, 4 * (self.n_pairs + 2) : 4 * (self.n_pairs + 3)] = \
+                inv_send
+            out[:, 4 * (self.n_pairs + 3):] = acc
         return out
+
+    def _send_payloads(self, main: np.ndarray) -> np.ndarray:
+        """(n, 1 + 3·L/2) BUS_MODMUL payload rows from the main trace."""
+        sl = self.slices
+        n = main.shape[0]
+        f = main[:, sl["f"]].astype(np.uint64)
+        weights = np.arange(len(self.moduli), dtype=np.uint64) \
+            + self.class_offset
+        mclass = (f * weights[None, :]).sum(axis=1)
+        parts = [mclass[:, None]]
+        for nm in ("a", "b", "r"):
+            byt = main[:, sl[nm]].astype(np.uint64)
+            parts.append(byt[:, 0::2] + 256 * byt[:, 1::2])
+        return np.concatenate(parts, axis=1)
 
     # ------------------------------------------------------------------
     # witness generation
 
-    def trace(self, events, min_log_n: int = 8):
+    def trace(self, events, min_log_n: int = 8, sends=None):
         """Build the chip trace from ModMulEvents (a, b, r, m).  Front-
         padded with 0·0 ≡ 0 (mod M₀) rows; the LAST event's r binds as
-        public values.  Returns (trace, public_values list[int])."""
+        public values.  Returns (trace, public_values list[int]).
+
+        sends: bus send multiplicities — either a per-event int list, or
+        a dict {(a, b, r, m): count} of consumptions to distribute (each
+        tuple's full count is assigned to its FIRST event row; leftover
+        counts raise — a consumer would be receiving an unproven
+        statement)."""
         events = list(events)
         if not events:
             raise ValueError("need at least one event")
@@ -341,11 +417,33 @@ class ModMulAir(Air):
         if self.moduli is not None:
             trace[:pad, sl["f"].start] = 1
 
+        if sends is not None and self.moduli is None:
+            raise ValueError("witnessed-modulus chips have no bus sends")
+        if isinstance(sends, dict):
+            remaining = dict(sends)
+            per_event = []
+            for ev in events:
+                key = (ev.a, ev.b, ev.r, ev.m)
+                per_event.append(remaining.pop(key, 0))
+            if any(remaining.values()):
+                bad = [k for k, v in remaining.items() if v]
+                raise ValueError(
+                    f"{len(bad)} consumed modmul statements have no "
+                    "recorded event")
+        elif sends is not None:
+            per_event = list(sends)
+            if len(per_event) != len(events):
+                raise ValueError("sends list length != event count")
+        else:
+            per_event = None
+
         for idx, ev in enumerate(events):
             row = pad + idx
             q, r_chk = divmod(ev.a * ev.b, ev.m)
             if r_chk != ev.r:
                 raise ValueError("inconsistent event: a·b mod m != r")
+            if per_event is not None:
+                trace[row, sl["ms"].start] = per_event[idx]
             a_l[row] = limbs(ev.a).astype(np.int64)
             b_l[row] = limbs(ev.b).astype(np.int64)
             r_l[row] = limbs(ev.r).astype(np.int64)
@@ -407,6 +505,12 @@ class ModMulAir(Air):
         return trace, public
 
 
+def u16le_limbs(v: int, k: int) -> list[int]:
+    """Little-endian 16-bit limbs of an integer (the BUS_MODMUL payload
+    convention — matches the chip's little-endian byte-limb pairing)."""
+    return [(v >> (16 * j)) & 0xFFFF for j in range(k)]
+
+
 def _batch_conv(x: np.ndarray, y: np.ndarray, L: int) -> np.ndarray:
     """Row-wise full convolution of (n, L) int64 arrays → (n, 2L−1)."""
     n = x.shape[0]
@@ -431,9 +535,12 @@ def modmul_air_256() -> ModMulAir:
 
 
 def modmul_air_384() -> ModMulAir:
+    from ..bus import MODMUL_CLASS_384
+
     global _AIR_384
     if _AIR_384 is None:
-        _AIR_384 = ModMulAir(48, MODULI_384, "ModMul384Air")
+        _AIR_384 = ModMulAir(48, MODULI_384, "ModMul384Air",
+                             class_offset=MODMUL_CLASS_384)
     return _AIR_384
 
 
@@ -444,6 +551,25 @@ def modmul_air_rsa(bits: int = 2048) -> ModMulAir:
     if bits not in _AIR_RSA:
         _AIR_RSA[bits] = ModMulAir(bits // 8, None, f"ModMulRsa{bits}Air")
     return _AIR_RSA[bits]
+
+
+def modmul_class(m: int) -> int:
+    """The BUS_MODMUL mclass of a fixed-set modulus (chip-local index,
+    384-bit classes offset)."""
+    from ..bus import MODMUL_CLASS_384
+
+    if m in MODULI_256:
+        return MODULI_256.index(m)
+    if m in MODULI_384:
+        return MODMUL_CLASS_384 + MODULI_384.index(m)
+    raise ValueError(f"modulus not in any fixed chip set: {hex(m)}")
+
+
+def modmul_send_payload(a: int, b: int, r: int, m: int) -> list[int]:
+    """The BUS_MODMUL payload of one statement a·b ≡ r (mod m)."""
+    k = 16 if m.bit_length() <= 256 else 24
+    return ([modmul_class(m)] + u16le_limbs(a, k) + u16le_limbs(b, k)
+            + u16le_limbs(r, k))
 
 
 # backward-compatible aliases (round-1 API)

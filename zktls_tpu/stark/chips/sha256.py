@@ -54,8 +54,8 @@ import numpy as np
 from ...guest.crypto.sha256 import _IV, _K  # spec constants
 from ...ops.field_ref import P
 from ..air import Air, AirBuilder
-from ..bus import (BUS_SHA_BLOCK, BUS_SHA_RESULT, BUS_SHA_STATE,
-                   np_bus_inverse_terms)
+from ..bus import (BUS_SHA_BLOCK, BUS_SHA_HOP, BUS_SHA_RESULT,
+                   BUS_SHA_STATE, np_bus_inverse_terms)
 from ..ext_val import ExtVal
 
 __all__ = ["Sha256Air", "sha256_trace", "ROWS_PER_BLOCK"]
@@ -117,6 +117,12 @@ def _build_layout() -> _Layout:
     #                           because it rides the chain fingerprints
     L.add("dig", 16)          # Davies-Meyer output limbs (canonical on the
     #                           group's last row; bus messages read these)
+    L.add("blk", 32)          # group-constant copy of the message block
+    #                           limbs (= w_win on the round-0 row) so the
+    #                           LAST row can publish the atomic hop
+    #                           statement (in, block, out) on BUS_SHA_HOP
+    L.add("nh", 1)            # hop-consumer multiplicity (free witness —
+    #                           the payload is the row's own proven event)
     return L
 
 
@@ -136,8 +142,8 @@ class Sha256Air(Air):
     width = LAYOUT.width
     num_public = 0
     max_constraint_degree = 3
-    #: inv_recv ‖ inv_send ‖ inv_res ‖ inv_b0 ‖ inv_b1 ‖ u ‖ acc
-    perm_width = 28
+    #: inv_recv ‖ inv_send ‖ inv_res ‖ inv_b0 ‖ inv_b1 ‖ inv_hop ‖ u ‖ acc
+    perm_width = 32
     num_perm_challenges = 2   # machine supplies the full challenge vector
     has_bus = True
 
@@ -316,8 +322,11 @@ class Sha256Air(Air):
                 - col("dig", 2 * i + 1) - hc_hi * (1 << 16))
 
         # --- group-constant chaining metadata ---
-        for nm in ("obj", "fresh", "has_tag", "tag", "xb"):
+        for nm in ("obj", "fresh", "has_tag", "tag", "xb", "nh"):
             b.assert_zero(not_last * (ncol(nm) - col(nm)))
+        # blk: group-constant, pinned to the block (w_win) on round 0
+        b.assert_zero_vec(not_last * (ng("blk") - g("blk")), 32)
+        b.assert_zero_vec(is_r0 * (g("blk") - g("w_win")), 32)
         b.assert_bool(col("xb"))
         b.assert_zero_vec(not_last * (ng("seq") - g("seq")), SEQ_BITS)
         b.assert_zero_vec(not_last * (ng("nc") - g("nc")), NC_BITS)
@@ -362,21 +371,32 @@ class Sha256Air(Air):
         for i in range(16):
             fp_b0 = fp_b0 + dpow(3 + i) * col("w_win", i)
             fp_b1 = fp_b1 + dpow(3 + i) * col("w_win", 16 + i)
+        # atomic hop statement: compress(in, block) = out — value-level,
+        # chain-coordinate-free (see stark/bus.py BUS_SHA_HOP)
+        fp_hop = ExtVal.from_base(BUS_SHA_HOP)
+        for i in range(16):
+            fp_hop = fp_hop + dpow(i) * col("h_state", i)
+            fp_hop = fp_hop + dpow(48 + i) * col("dig", i)
+        for i in range(32):
+            fp_hop = fp_hop + dpow(16 + i) * col("blk", i)
         inv_recv = b.perm_ext(0)
         inv_send = b.perm_ext(1)
         inv_res = b.perm_ext(2)
         inv_b0 = b.perm_ext(3)
         inv_b1 = b.perm_ext(4)
-        u = b.perm_ext(5)
-        acc = b.perm_ext(6)
-        u_n = b.perm_ext(5, nxt=True)
-        acc_n = b.perm_ext(6, nxt=True)
+        inv_hop = b.perm_ext(5)
+        u = b.perm_ext(6)
+        acc = b.perm_ext(7)
+        u_n = b.perm_ext(6, nxt=True)
+        acc_n = b.perm_ext(7, nxt=True)
         b.assert_ext_zero(inv_recv * (gamma - fp_recv) - 1)
         b.assert_ext_zero(inv_send * (gamma - fp_send) - 1)
         b.assert_ext_zero(inv_res * (gamma - fp_res) - 1)
         b.assert_ext_zero(inv_b0 * (gamma - fp_b0) - 1)
         b.assert_ext_zero(inv_b1 * (gamma - fp_b1) - 1)
-        u_def = (inv_send * nc_val + inv_res * col("has_tag")) * is_last \
+        b.assert_ext_zero(inv_hop * (gamma - fp_hop) - 1)
+        u_def = (inv_send * nc_val + inv_res * col("has_tag")
+                 + inv_hop * col("nh")) * is_last \
             + (inv_b0 + inv_b1) * (is_r0 * xb) \
             - inv_recv * ((1 - fresh) * is_r0)
         b.assert_ext_zero(u - u_def)
@@ -420,11 +440,16 @@ class Sha256Air(Air):
         inv_res = np_bus_inverse_terms(challenges, BUS_SHA_RESULT, res_pl)
         inv_b0 = np_bus_inverse_terms(challenges, BUS_SHA_BLOCK, b0_pl)
         inv_b1 = np_bus_inverse_terms(challenges, BUS_SHA_BLOCK, b1_pl)
+        nh = main[:, L["nh"].start].astype(np.uint64)
+        blk = main[:, L["blk"]].astype(np.uint64)
+        hop_pl = np.concatenate([hs, blk, dg], axis=1)
+        inv_hop = np_bus_inverse_terms(challenges, BUS_SHA_HOP, hop_pl)
         t = np.arange(n) % ROWS_PER_BLOCK
         is_r0 = (t == 0).astype(np.uint64)[:, None]
         is_last = (t == ROWS_PER_BLOCK - 1).astype(np.uint64)[:, None]
         pos = (is_last * ((nc[:, None] * inv_send
-                           + has_tag[:, None] * inv_res) % P)
+                           + has_tag[:, None] * inv_res
+                           + nh[:, None] * inv_hop) % P)
                + is_r0 * xb[:, None]
                * ((inv_b0.astype(np.uint64)
                    + inv_b1.astype(np.uint64)) % P)) % P
@@ -432,8 +457,8 @@ class Sha256Air(Air):
         u = (pos + P - neg) % P
         acc = np.cumsum(u, axis=0) % P
         return np.concatenate(
-            [inv_recv, inv_send, inv_res, inv_b0, inv_b1, u, acc], axis=1
-        ).astype(np.uint32)
+            [inv_recv, inv_send, inv_res, inv_b0, inv_b1, inv_hop, u,
+             acc], axis=1).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -467,17 +492,30 @@ def _children_counts(events) -> list[int]:
     return out
 
 
-def sha256_trace(events, min_log_n: int = 6):
+def sha256_trace(events, min_log_n: int = 6, hop_counts=None):
     """Build the chip trace from CompressionEvents (with obj/seq/result_tag
     chaining metadata).  The trace is padded at the FRONT with fresh
     IV-rooted zero-block compressions (nc = 0) to a power-of-two height.
     Returns (trace (n, width) uint32, public_values [] — the machine
-    appends the bus sum)."""
+    appends the bus sum).
+
+    hop_counts: {(state_in, block): count} — BUS_SHA_HOP consumption
+    counts from composition chips (the key-schedule chip); each tuple's
+    count is assigned to its first matching event (leftovers raise)."""
     from ...guest.crypto.sha256 import CompressionEvent
 
     if not events:
         raise ValueError("need at least one compression")
     events = list(events)
+    nh_real = [0] * len(events)
+    if hop_counts:
+        remaining = dict(hop_counts)
+        for i, e in enumerate(events):
+            key = (tuple(e.state_in), bytes(e.block))
+            if key in remaining:
+                nh_real[i] = remaining.pop(key)
+        if any(remaining.values()):
+            raise ValueError("consumed SHA hop has no recorded event")
     nc_real = _children_counts(events)
     n_real = len(events)
     n_rows = n_real * ROWS_PER_BLOCK
@@ -660,4 +698,12 @@ def sha256_trace(events, min_log_n: int = 6):
     xb_b = np.array([getattr(e, "expose_block", 0) for e in all_events],
                     dtype=np.int64)
     trace[:, L["xb"].start] = (xb_b != 0)[b_idx].astype(np.uint32)
+    # hop multiplicities + the group-constant block-limb copy
+    nh_b = np.array([0] * pad + nh_real, dtype=np.int64)
+    trace[:, L["nh"].start] = (nh_b % P)[b_idx].astype(np.uint32)
+    blk16 = np.zeros((B, 32), dtype=np.uint32)
+    for i in range(16):
+        blk16[:, 2 * i] = (w[:, i] & 0xFFFF).astype(np.uint32)
+        blk16[:, 2 * i + 1] = (w[:, i] >> 16).astype(np.uint32)
+    trace[:, L["blk"]] = blk16[b_idx]
     return trace, []

@@ -171,6 +171,51 @@ def test_chacha_suites_chip_coverage(cert_pair):
                            challenges=challenges) == []
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZKTLS_SLOW_TESTS"),
+    reason="full multi-chip machine prove per suite (XLA compiles are "
+           "minutes on CPU); set ZKTLS_SLOW_TESTS=1")
+@pytest.mark.parametrize("kwargs,want", [
+    (dict(tls12_ciphers="ECDHE-RSA-AES256-GCM-SHA384"), 0xC030),
+    (dict(offered=[0x1302]), 0x1302),
+])
+def test_suite_machine_prove_roundtrip(cert_pair, kwargs, want):
+    """VERDICT round-4 item #5: one full prove_machine → verify_machine
+    per new suite on a recorded loopback session (small FRI config), not
+    just a balance check — and a tampered journal byte is rejected."""
+    from zktls_tpu.provers.stark import StarkGuestProver
+    from zktls_tpu.stark.config import StarkConfig
+    from zktls_tpu.stark.verifier import VerificationError
+
+    gi = _record_session(cert_pair, **kwargs)
+    cfg = StarkConfig(log_blowup=2, num_queries=8, pow_bits=0,
+                      fri_final_size=64)
+    prover = StarkGuestProver(cfg)
+    import zktls_tpu.guest.program as prog
+
+    out = run_guest(gi, require_trust_anchor=False)
+    assert out.replay.cipher_suite.id == want
+    from zktls_tpu.stark.machine import prove_machine, verify_machine
+    from zktls_tpu.provers.stark import (
+        build_chip_instances,
+        journal_airs,
+        journal_public_messages,
+    )
+
+    chips = build_chip_instances(out)
+    proof = prove_machine(chips, binding=out.journal, config=cfg)
+    assert verify_machine(
+        journal_airs(out.journal, proof), proof, binding=out.journal,
+        public_messages=journal_public_messages(out.journal), config=cfg)
+    bad = bytearray(out.journal)
+    bad[40] ^= 1
+    with pytest.raises(VerificationError):
+        verify_machine(
+            journal_airs(bytes(bad), proof), proof, binding=bytes(bad),
+            public_messages=journal_public_messages(bytes(bad)),
+            config=cfg)
+
+
 def test_sha512_chip_machine_prove(cert_pair):
     """A small REAL machine proof containing the SHA-512 chip verifies
     (and a tampered SHA-512 digest chain is rejected by constraints)."""

@@ -103,16 +103,25 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
 
     v13 = replay.version == 0x0304
     has_gcm = bool(replay.gcm_events)
-    # GCM sessions: the stream hash chain exposes its message blocks on
+    # ChaCha20-Poly1305 record binding covers TLS 1.3 — 0xCCA8 journals
+    # carry no record headers until the parser's nonce-less 1.2 walk
+    # lands (documented gap, stark/chips/chacha_control.py)
+    cha_events = getattr(replay, "chacha_events", None) or []
+    has_cha = bool(cha_events) and v13
+    has_rec = has_gcm or has_cha
+    rec_events = replay.gcm_events if has_gcm else \
+        (cha_events if has_cha else [])
+    # record sessions: the stream hash chain exposes its message blocks on
     # the bus for the stream-parser chip, under the reserved object id 1
     # (batch sessions use i+1; the verifier derives the id) — see
     # stark/chips/stream_parser.py
     stream_sha256 = replay.sha256_recorder.sha256(
         resp.stream, result_tag=RESULT_TAG_STREAM,
-        expose_blocks=has_gcm, obj=1 if has_gcm else None)
-    gcm_metas = (walk_stream_records(resp.stream, replay.gcm_events, v13)
-                 if has_gcm else [])
-    gcm_records = pack_gcm_records(replay.gcm_events, gcm_metas, v13)
+        expose_blocks=has_rec, obj=1 if has_rec else None)
+    gcm_metas = (walk_stream_records(resp.stream, rec_events, v13,
+                                     nonce_len=8 if has_gcm else 0)
+                 if has_rec else [])
+    gcm_records = pack_gcm_records(rec_events, gcm_metas, v13)
 
     journal = encode_journal(
         guest_input,

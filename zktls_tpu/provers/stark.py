@@ -180,19 +180,68 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
         chips.append(ChipInstance(air=KeccakAir(), trace=ktrace,
                                   publics=[]))
     chacha_events = getattr(out.replay, "chacha_events", None)
+    cc_sends: dict = {}
     if chacha_events:
         # ChaCha suites: every keystream block (incl. the Poly1305
-        # one-time-key block) proven by the ChaCha20 chip; the Poly1305
-        # tag multiplications ride the ModMul chip via recorded mulmods
-        # over 2^130−5.  Record-level binding (parser/control glue) is
-        # the documented remaining chacha gap.
+        # one-time-key block) proven by the ChaCha20 chip.  TLS 1.3
+        # sessions (0x1303) get FULL record binding: the control chip
+        # consumes the journal record headers, the parser locates every
+        # record in the committed tape, the data chip xors plaintext,
+        # and the Poly1305 tag chain (recorded mulmods over 2^130−5 on
+        # the ModMul chip) is composed into the in-circuit tag check.
+        # 0xCCA8 (TLS 1.2) keystream algebra proves unbound until the
+        # parser's nonce-less 1.2 walk lands (documented gap).
         from ..stark.chips.chacha import (
             ChaCha20Air,
             chacha_event_blocks,
             chacha_trace,
         )
+        from ..stark.chips.chacha_control import (
+            ChaChaControlAir,
+            chacha_control_trace,
+        )
+        from ..stark.chips.gcm_data import ChaChaDataAir
 
-        ctrace, cpub = chacha_trace(chacha_event_blocks(chacha_events))
+        consumed: dict = {}
+        bind_cha = bool(out.gcm_metas) and not out.replay.gcm_events
+        if bind_cha:
+            ctl_trace, _, cc_sends, consumed = chacha_control_trace(
+                chacha_events, out.gcm_metas)
+            chips.append(ChipInstance(air=ChaChaControlAir(),
+                                      trace=ctl_trace, publics=[]))
+            sessions = getattr(out, "parser_sessions", None)
+            if sessions is None:
+                sessions = [parser_sessions_from_replay(
+                    out.stream, chacha_events, out.v13, obj=1)]
+            ptrace, _ = parser_trace(sessions)
+            chips.append(ChipInstance(air=StreamParserAir(), trace=ptrace,
+                                      publics=[]))
+            filtered = getattr(out, "filtered_mults", None)
+            if filtered is None:
+                filtered = _filtered_multiplicities(out.journal, obj=1)
+            from ..stark.chips.gcm_data import gcm_data_trace
+
+            dtrace, _, xor_pairs = gcm_data_trace(
+                out.gcm_metas, chacha_events, filtered=filtered,
+                le_pairs=1)
+            chips.append(ChipInstance(air=ChaChaDataAir(), trace=dtrace,
+                                      publics=[]))
+            xtrace, _ = xor_table_trace(
+                xor_use_counts(list(xor_pairs) + ks_xor_pairs))
+            chips.append(ChipInstance(air=XorTableAir(), trace=xtrace,
+                                      publics=[]))
+            from ..stark.chips.keccak import KeccakAir, keccak_trace
+
+            streams = getattr(out, "keccak_streams", None)
+            if streams is None:
+                streams = [(1, 0, out.replay.request_plaintext),
+                           (1, 1, out.replay.response_plaintext)]
+            ktrace, _ = keccak_trace(streams)
+            chips.append(ChipInstance(air=KeccakAir(), trace=ktrace,
+                                      publics=[]))
+
+        ctrace, cpub = chacha_trace(chacha_event_blocks(chacha_events),
+                                    consumed=consumed)
         chips.append(ChipInstance(air=ChaCha20Air(), trace=ctrace,
                                   publics=cpub))
     # EC schedule: the ECDHE d·G / d·S dual ladder proven over the
@@ -228,6 +277,9 @@ def build_chip_instances(out: GuestOutput) -> list[ChipInstance]:
         etrace, sends = ec_schedule_trace(jobs)
         chips.append(ChipInstance(air=EcScheduleAir(), trace=etrace,
                                   publics=[]))
+    # Poly1305 accumulator statements consumed by the ChaCha control chip
+    for key, cnt in cc_sends.items():
+        sends[key] = sends.get(key, 0) + cnt
     if ks_trace is not None:
         chips.append(ChipInstance(air=KeyScheduleAir(), trace=ks_trace,
                                   publics=[]))
@@ -246,13 +298,14 @@ def _air_registry() -> dict:
         modmul_air_rsa,
     )
 
-    from ..stark.chips.gcm_data import GcmDataAir
+    from ..stark.chips.gcm_data import ChaChaDataAir, GcmDataAir
     from ..stark.chips.keccak import KeccakAir
     from ..stark.chips.stream_parser import StreamParserAir
     from ..stark.chips.xor_table import XorTableAir
 
     from ..stark.chips.aes256 import Aes256Air
     from ..stark.chips.chacha import ChaCha20Air
+    from ..stark.chips.chacha_control import ChaChaControlAir
     from ..stark.chips.sha512 import Sha512Air
 
     from ..stark.chips.ec import EcScheduleAir
@@ -261,6 +314,8 @@ def _air_registry() -> dict:
     return {
         "KeccakAir": KeccakAir,
         "ChaCha20Air": ChaCha20Air,
+        "ChaChaControlAir": ChaChaControlAir,
+        "ChaChaDataAir": ChaChaDataAir,
         "EcScheduleAir": EcScheduleAir,
         "KeyScheduleAir": KeyScheduleAir,
         "Sha256Air": sha256_air,
@@ -295,15 +350,23 @@ def journal_airs(journal: bytes | list[bytes], proof: MachineProof) -> list:
     registry = _air_registry()
     journals = [journal] if isinstance(journal, (bytes, bytearray)) \
         else list(journal)
+    from ..stark.chips.gcm_control import parse_gcm_records
+
     required = {"Sha256Air", "ModMul256Air"}
     need_aes = False
     for jb in journals:
         j = decode_journal(jb)
         if j["gcm_records"]:
-            required |= {"GhashAir", "GcmControlAir",
-                         "StreamParserAir", "GcmDataAir", "XorTableAir",
-                         "KeccakAir"}
-            need_aes = True
+            recs = parse_gcm_records(j["gcm_records"])
+            if any(r["cha"] for r in recs):
+                required |= {"ChaCha20Air", "ChaChaControlAir",
+                             "StreamParserAir", "ChaChaDataAir",
+                             "XorTableAir", "KeccakAir"}
+            if any(not r["cha"] for r in recs):
+                required |= {"GhashAir", "GcmControlAir",
+                             "StreamParserAir", "GcmDataAir",
+                             "XorTableAir", "KeccakAir"}
+                need_aes = True
     names = {cp.name for cp in proof.chips}
     missing = required - names
     if need_aes and not ({"Aes128Air", "Aes256Air"} & names):
@@ -359,11 +422,14 @@ def journal_public_messages(journal: bytes, obj: int = 1,
          + [1 if has_gcm else 0], -1),
     ]
     for rec in parse_gcm_records(j["gcm_records"]):
+        # the trailing cha field discriminates ChaCha20-Poly1305 records
+        # (consumed by ChaChaControlAir) from AES-GCM ones (GcmControlAir,
+        # whose fingerprint has no cha term ≡ cha = 0)
         msgs.append((BUS_GCM_RECORD,
                      [eid_off + rec["eid"]] + u16_limbs(rec["nonce"])
                      + u16_limbs(rec["tag"])
                      + [rec["n_blocks"], rec["ct_len"], rec["v13"],
-                        rec["is_resp"]], 1))
+                        rec["is_resp"], rec["cha"]], 1))
     if has_gcm:
         from ..stark.bus import BUS_HASH_RESULT, u16_limbs as _u16
 

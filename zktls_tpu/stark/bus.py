@@ -28,7 +28,8 @@ from ..ops.field_ref import Fp4, P
 
 __all__ = [
     "BUS_SHA_STATE", "BUS_SHA_RESULT", "BUS_SHA512_STATE",
-    "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_SP16_CHAIN",
+    "BUS_SHA512_RESULT", "BUS_CHACHA_BLOCK", "BUS_CHACHA_KS",
+    "BUS_POLY_CT", "BUS_SP16_CHAIN",
     "BUS_SP24_CHAIN", "BUS_HASH_ABS", "BUS_HASH_OUT", "BUS_HASH_ABS24",
     "BUS_HASH_OUT24", "BUS_VM_VAL",
     "BUS_VM_INSTR", "BUS_VM_PUB", "BUS_EC_BASE",
@@ -138,9 +139,12 @@ BUS_HASH_RESULT = 0x115
 BUS_SHA512_STATE = 0x116
 #: (result_tag, digest 32×u16) — a tagged SHA-512-family digest.
 BUS_SHA512_RESULT = 0x117
-#: (eid, ctr_lo, ctr_hi, half, key 16×u16, block-half 16×u16) — one
-#: 64-byte ChaCha20 keystream block in two halves, published by the
-#: ChaCha20 chip (consumer: the ChaCha record-control chip, planned).
+#: (eid, ctr_lo, ctr_hi, half, key 16×u16, block-half 16×u16,
+#: nonce 6×u16) — one 64-byte ChaCha20 keystream block in two halves,
+#: published by the ChaCha20 chip with per-half witnessed multiplicities;
+#: consumed by the ChaCha record-control chip (the otk half at ctr = 0
+#: and every data-keystream half).  The nonce limbs in the payload bind
+#: each consumed block to the journal-pinned record nonce.  Payload 42.
 BUS_CHACHA_BLOCK = 0x118
 #: recursion machine (stark/recursion.py) — sponge chain state:
 #: (sid, seq, state w×field) between consecutive duplexes of an instance.
@@ -206,13 +210,26 @@ BUS_KS_OUT = 0x127
 #: opad (0x5c5c…), sent by secret rows (xor-table-proven), received by
 #: the key-schedule HMAC rows against their block limbs.
 BUS_KS_PAD = 0x128
+#: (eid, blk_idx, limbs 8×u16 LE byte pairs) — one 16-byte slice of a
+#: ChaCha20 record's data keystream (blocks ctr ≥ 1), sent by the ChaCha
+#: record-control chip (which consumed the proven 32-byte halves from
+#: BUS_CHACHA_BLOCK), received by the ChaCha data chip for the
+#: plaintext xor.  The LE pairing (b[2j] + 256·b[2j+1]) matches the
+#: ChaCha chip's native LE-u32 lo/hi limb order — no byteswap anywhere.
+BUS_CHACHA_KS = 0x129
+#: (eid, blk_idx, limbs 8×u16 LE byte pairs) — one zero-padded 16-byte
+#: ciphertext block of a ChaCha record, sent by the data chip (which
+#: received the bytes from the stream parser), received by the control
+#: chip's Poly1305 accumulation rows: the block value Σ limbs·2^16j is
+#: exactly the little-endian Poly1305 message block (before + 2^128).
+BUS_POLY_CT = 0x12A
 
 #: result tags for BUS_SHA_RESULT
 RESULT_TAG_JOURNAL = 1   # digest of the committed journal bytes
 RESULT_TAG_STREAM = 2    # digest of the full stream tape (in the journal)
 
 #: maximum payload length any message uses (MODMUL at the 384-bit width:
-#: 1 + 3·24 = 73; MODMUL-256: 1 + 3·16 = 49; CHACHA_BLOCK: 4 + 32 = 36;
+#: 1 + 3·24 = 73; MODMUL-256: 1 + 3·16 = 49; CHACHA_BLOCK: 4+32+6 = 42;
 #: SHA512_STATE: 3 + 32 = 35; EC_STATE: 4 + 32 = 36)
 MAX_PAYLOAD = 73
 

@@ -17,12 +17,15 @@ initial state reconstructed from the group-constant key/counter/nonce
 metadata and the σ constants.  Rows 21..31 idle.
 
 Bus: each real group's last row publishes the keystream block in two
-halves (BUS_CHACHA_BLOCK: eid, ctr, half, key, 32 bytes) with a consume
-multiplicity column — the planned ChaCha record-control chip (the
-Poly1305/parser glue mirroring GcmControlAir) will consume them; until
-then blocks prove the keystream algebra with multiplicity 0 and the
-Poly1305 tag-polynomial multiplications ride the ModMul chip
-(guest/crypto/chacha.py records them over 2^130 − 5)."""
+halves (BUS_CHACHA_BLOCK: eid, ctr, half, key, 32 bytes, nonce) with
+per-half witnessed multiplicity columns.  The ChaCha record-control chip
+(stark/chips/chacha_control.py — the Poly1305/parser glue mirroring
+GcmControlAir) consumes the Poly1305 one-time-key half (ctr = 0, half 0)
+and every data-keystream half; the nonce limbs in the payload bind each
+consumed block to the journal-pinned record nonce.  The Poly1305
+tag-polynomial multiplications ride the ModMul chip (guest/crypto/
+chacha.py records them over 2^130 − 5) and the control chip composes
+them into the tag check."""
 
 from __future__ import annotations
 
@@ -76,7 +79,7 @@ def _build_layout() -> _Layout:
     L.add("keyl", 16)     # key as 16 u16 limbs (LE-u32 words, lo/hi)
     L.add("nonl", 6)      # nonce limbs
     L.add("ctrl", 2)      # counter lo/hi limbs
-    L.add("ms", 1)        # send multiplicity
+    L.add("ms", 2)        # per-half send multiplicities (lo, hi)
     L.add("out", 32)      # output block limbs (lo/hi per word)
     L.add("oc", 32)       # feed-forward add carries (row 20)
     return L
@@ -138,12 +141,13 @@ class ChaCha20Air(Air):
                       ("b1", 128), ("car", 32), ("oc", 32)):
             grp = b.local_group(L[nm])
             b.assert_zero_vec(grp * (grp - 1), k)
-        b.assert_bool(col("ms"))
+        b.assert_bool(col("ms", 0))
+        b.assert_bool(col("ms", 1))
 
         # --- group-constant metadata ---
         not_glast = 1 - is_glast
         for nm, k in (("eid", 1), ("keyl", 16), ("nonl", 6), ("ctrl", 2),
-                      ("ms", 1), ("out", 32)):
+                      ("ms", 2), ("out", 32)):
             grp = b.local_group(L[nm])
             ngrp = b.next_group(L[nm])
             b.assert_zero_vec(not_glast * (ngrp - grp), k)
@@ -239,6 +243,8 @@ class ChaCha20Air(Air):
             for i in range(16):
                 f = f + dpow(4 + i) * col("keyl", i)
                 f = f + dpow(20 + i) * col("out", 16 * half + i)
+            for i in range(6):
+                f = f + dpow(36 + i) * col("nonl", i)
             fp[half] = f
         inv_lo = b.perm_ext(0)
         inv_hi = b.perm_ext(1)
@@ -248,7 +254,8 @@ class ChaCha20Air(Air):
         acc_n = b.perm_ext(3, nxt=True)
         b.assert_ext_zero(inv_lo * (gamma - fp[0]) - 1)
         b.assert_ext_zero(inv_hi * (gamma - fp[1]) - 1)
-        b.assert_ext_zero(u - (inv_lo + inv_hi) * (col("ms") * is_glast))
+        b.assert_ext_zero(
+            u - (inv_lo * col("ms", 0) + inv_hi * col("ms", 1)) * is_glast)
         b.assert_ext_zero((acc - u) * b.is_first_row)
         b.assert_ext_zero((acc_n - acc - u_n) * b.is_transition)
         for ell in range(4):
@@ -261,22 +268,25 @@ class ChaCha20Air(Air):
         n = main.shape[0]
         eid = main[:, L["eid"].start].astype(np.uint64)
         keyl = main[:, L["keyl"]].astype(np.uint64)
+        nonl = main[:, L["nonl"]].astype(np.uint64)
         ctrl = main[:, L["ctrl"]].astype(np.uint64)
         out = main[:, L["out"]].astype(np.uint64)
-        ms = main[:, L["ms"].start].astype(np.uint64)
+        ms0 = main[:, L["ms"].start].astype(np.uint64)
+        ms1 = main[:, L["ms"].start + 1].astype(np.uint64)
         P = 2013265921
         invs = []
         for half in (0, 1):
             pl = np.concatenate(
                 [eid[:, None], ctrl[:, :1], ctrl[:, 1:],
                  np.full((n, 1), half, dtype=np.uint64), keyl,
-                 out[:, 16 * half : 16 * half + 16]], axis=1)
+                 out[:, 16 * half : 16 * half + 16], nonl], axis=1)
             invs.append(np_bus_inverse_terms(challenges, BUS_CHACHA_BLOCK,
                                              pl))
         rowm = np.arange(n) % GROUP_ROWS
         glast = (rowm == GROUP_ROWS - 1).astype(np.uint64)
-        u = ((invs[0].astype(np.uint64) + invs[1].astype(np.uint64))
-             * (ms * glast)[:, None]) % P
+        u = ((invs[0].astype(np.uint64) * ms0[:, None]
+              + invs[1].astype(np.uint64) * ms1[:, None])
+             * glast[:, None]) % P
         acc = np.cumsum(u, axis=0) % P
         return np.concatenate(invs + [u, acc], axis=1).astype(np.uint32)
 
@@ -306,14 +316,19 @@ def _quarter_trace(s, a, b, c, d):
 
 
 def chacha_trace(blocks: list[tuple[int, bytes, bytes, int]],
-                 min_log_n: int = 6):
+                 min_log_n: int = 6,
+                 consumed: dict | None = None):
     """blocks: (eid, 32-byte key, 12-byte nonce, counter) per keystream
     block (the ChaChaEvent otk block is counter 0, data blocks 1..).
-    Padded at the FRONT with silent zero-key groups."""
+    Padded at the FRONT with silent zero-key groups.
+
+    consumed: {(eid, ctr, half): mult} — BUS_CHACHA_BLOCK per-half send
+    multiplicities (the record-control chip's receives); default 0."""
     import struct
 
     if not blocks:
         raise ValueError("need at least one block")
+    consumed = consumed or {}
     n_real = len(blocks)
     n_rows = n_real * GROUP_ROWS
     log_n = max(min_log_n, (n_rows - 1).bit_length())
@@ -334,7 +349,9 @@ def chacha_trace(blocks: list[tuple[int, bytes, bytes, int]],
         rows = slice(base, base + GROUP_ROWS)
         is_pad = gidx < pad
         trace[rows, L["eid"].start] = eid
-        trace[rows, L["ms"].start] = 0 if is_pad else 0  # no consumer yet
+        if not is_pad:
+            trace[rows, L["ms"].start] = consumed.get((eid, ctr, 0), 0)
+            trace[rows, L["ms"].start + 1] = consumed.get((eid, ctr, 1), 0)
         kw = struct.unpack("<8I", key)
         nw = struct.unpack("<3I", nonce)
         for j in range(8):

@@ -514,7 +514,9 @@ def pack_gcm_records(events, metas=None, v13: bool = False) -> bytes:
     """Journal wire format of the record headers: 36 bytes per event
     (u16 eid ‖ nonce ‖ tag ‖ u16 n_blocks ‖ u16 ct_len ‖ u8 flags ‖ pad).
     metas: GcmRecordMeta list (record_walk) supplying is_resp per eid;
-    without it flags carry only the version bit."""
+    without it flags carry only the version bit.  ChaCha20-Poly1305
+    events (no counter_blocks attribute) pack with flags bit 2 set and
+    n_blocks = ceil(ct_len/16) — the data-chip block granularity."""
     resp, mv13 = {}, {}
     if metas is not None:
         for m in metas:
@@ -522,8 +524,12 @@ def pack_gcm_records(events, metas=None, v13: bool = False) -> bytes:
             mv13[m.eid] = getattr(m, "v13", 1 if v13 else 0)
     out = bytearray()
     for eid, ev in enumerate(events):
-        n_blocks = len(ev.counter_blocks)
-        flags = (mv13.get(eid, 1 if v13 else 0)) | (2 if resp.get(eid) else 0)
+        if hasattr(ev, "counter_blocks"):
+            n_blocks, cha = len(ev.counter_blocks), 0
+        else:
+            n_blocks, cha = (len(ev.ciphertext) + 15) // 16, 1
+        flags = (mv13.get(eid, 1 if v13 else 0)) \
+            | (2 if resp.get(eid) else 0) | (4 * cha)
         out += eid.to_bytes(2, "big") + ev.nonce + ev.tag \
             + n_blocks.to_bytes(2, "big") \
             + len(ev.ciphertext).to_bytes(2, "big") \
@@ -545,6 +551,7 @@ def parse_gcm_records(data: bytes) -> list[dict]:
             "ct_len": int.from_bytes(rec[32:34], "big"),
             "v13": rec[34] & 1,
             "is_resp": (rec[34] >> 1) & 1,
+            "cha": (rec[34] >> 2) & 1,
         })
     return out
 

@@ -53,18 +53,21 @@ import numpy as np
 
 from ..air import Air, AirBuilder
 from ..bus import (
+    BUS_CHACHA_KS,
     BUS_CT_BYTE,
     BUS_FILTERED,
     BUS_GCM_CT,
     BUS_GCM_KS,
     BUS_HASH_BYTE,
+    BUS_POLY_CT,
     BUS_XOR,
     np_bus_inverse_terms,
 )
 from ..ext_val import ExtVal
 from .stream_parser import RPOS_SENTINEL
 
-__all__ = ["GcmDataAir", "gcm_data_trace", "ROWS_PER_BLOCK"]
+__all__ = ["GcmDataAir", "ChaChaDataAir", "gcm_data_trace",
+           "ROWS_PER_BLOCK"]
 
 P = 2013265921
 ROWS_PER_BLOCK = 16
@@ -126,6 +129,13 @@ class GcmDataAir(Air):
     perm_width = 36
     num_perm_challenges = 2
     has_bus = True
+    #: cipher wiring (overridden by ChaChaDataAir): which buses supply the
+    #: keystream / consume the assembled ct blocks, and the byte order of
+    #: the ksl/ctl limb packing (0 = big-endian pairs for GHASH, 1 =
+    #: little-endian pairs for the ChaCha/Poly1305 path)
+    KS_BUS = BUS_GCM_KS
+    BLK_BUS = BUS_GCM_CT
+    LE_PAIRS = 0
 
     def periodic_columns(self) -> list:
         p0 = np.zeros(ROWS_PER_BLOCK, dtype=np.uint32); p0[0] = 1
@@ -173,10 +183,16 @@ class GcmDataAir(Air):
         ctby_n = n("cthi") * 16 + n("ctlo")
         ksby_n = n("kshi") * 16 + n("kslo")
         for j in range(8):
-            b.assert_zero(tr * even[j]
-                          * (c("ctl", j) - 256 * ctby - ctby_n))
-            b.assert_zero(tr * even[j]
-                          * (c("ksl", j) - 256 * ksby - ksby_n))
+            if self.LE_PAIRS:
+                b.assert_zero(tr * even[j]
+                              * (c("ctl", j) - ctby - 256 * ctby_n))
+                b.assert_zero(tr * even[j]
+                              * (c("ksl", j) - ksby - 256 * ksby_n))
+            else:
+                b.assert_zero(tr * even[j]
+                              * (c("ctl", j) - 256 * ctby - ctby_n))
+                b.assert_zero(tr * even[j]
+                              * (c("ksl", j) - 256 * ksby - ksby_n))
         # filtered multiplicity only on live rows
         b.assert_zero(c("f") * (1 - live))
 
@@ -207,9 +223,9 @@ class GcmDataAir(Air):
                  + dpow(3) * c("rp") + dpow(4) * c("isr")
                  + dpow(5) * c("v13") + dpow(6) * c("obj")
                  + dpow(7) * c("dirs") + dpow(8) * c("hbf"))
-        fp_ks = (ExtVal.from_base(BUS_GCM_KS) + dpow(0) * c("eid")
+        fp_ks = (ExtVal.from_base(self.KS_BUS) + dpow(0) * c("eid")
                  + dpow(1) * c("bidx"))
-        fp_blk = (ExtVal.from_base(BUS_GCM_CT) + dpow(0) * c("eid")
+        fp_blk = (ExtVal.from_base(self.BLK_BUS) + dpow(0) * c("eid")
                   + dpow(1) * c("bidx"))
         for k in range(8):
             fp_ks = fp_ks + dpow(2 + k) * c("ksl", k)
@@ -274,13 +290,14 @@ class GcmDataAir(Air):
         inv_ct = np_bus_inverse_terms(challenges, BUS_CT_BYTE, np.stack(
             [col("eid"), crem, ctby, col("rp"), col("isr"), col("v13"),
              col("obj"), col("dirs"), col("hbf")], axis=1))
-        inv_ks = np_bus_inverse_terms(challenges, BUS_GCM_KS, np.concatenate(
+        inv_ks = np_bus_inverse_terms(challenges, self.KS_BUS, np.concatenate(
             [col("eid")[:, None], col("bidx")[:, None], ksl], axis=1))
         inv_xhi = np_bus_inverse_terms(challenges, BUS_XOR, np.stack(
             [col("cthi"), col("kshi"), col("pthi")], axis=1))
         inv_xlo = np_bus_inverse_terms(challenges, BUS_XOR, np.stack(
             [col("ctlo"), col("kslo"), col("ptlo")], axis=1))
-        inv_blk = np_bus_inverse_terms(challenges, BUS_GCM_CT, np.concatenate(
+        inv_blk = np_bus_inverse_terms(challenges, self.BLK_BUS,
+                                       np.concatenate(
             [col("eid")[:, None], col("bidx")[:, None], ctl], axis=1))
         inv_filt = np_bus_inverse_terms(challenges, BUS_FILTERED, np.stack(
             [col("obj"), col("dirs"), col("rp"), ptby], axis=1))
@@ -302,6 +319,23 @@ class GcmDataAir(Air):
              u, acc], axis=1).astype(np.uint32)
 
 
+class ChaChaDataAir(GcmDataAir):
+    """The data chip for ChaCha20-Poly1305 records: identical parser /
+    xor / filtered / hash-byte / inner-content-type wiring, but the
+    keystream arrives from the ChaCha record-control chip
+    (BUS_CHACHA_KS) and the assembled zero-padded ciphertext blocks are
+    consumed by the control chip's Poly1305 accumulation rows
+    (BUS_POLY_CT) instead of GHASH.  Both limb packings are
+    little-endian byte pairs — the ChaCha chip's native limb order and
+    the Poly1305 little-endian block interpretation — so no byteswap
+    gadget exists anywhere on the path."""
+
+    name = "ChaChaDataAir"
+    KS_BUS = BUS_CHACHA_KS
+    BLK_BUS = BUS_POLY_CT
+    LE_PAIRS = 1
+
+
 # ---------------------------------------------------------------------------
 # witness generation
 # ---------------------------------------------------------------------------
@@ -309,7 +343,7 @@ class GcmDataAir(Air):
 
 def gcm_data_trace(records, gcm_events, v13: int = 0, obj: int = 1,
                    filtered: list | None = None,
-                   min_log_n: int = 5):
+                   min_log_n: int = 5, le_pairs: int = 0):
     """records: GcmRecordMeta list (record_walk.walk_stream_records) —
     per-record v13/obj fields override the defaults (batch sessions);
     filtered: [(pos, count)] or [(obj, pos, count)] multiplicities for the
@@ -347,8 +381,12 @@ def gcm_data_trace(records, gcm_events, v13: int = 0, obj: int = 1,
             for j in range(8):
                 cpair = ct_blk[2 * j : 2 * j + 2].ljust(2, b"\x00")
                 kpair = ks_blk[2 * j : 2 * j + 2]
-                blk[:, L["ctl"].start + j] = cpair[0] * 256 + cpair[1]
-                blk[:, L["ksl"].start + j] = kpair[0] * 256 + kpair[1]
+                if le_pairs:
+                    blk[:, L["ctl"].start + j] = cpair[0] + 256 * cpair[1]
+                    blk[:, L["ksl"].start + j] = kpair[0] + 256 * kpair[1]
+                else:
+                    blk[:, L["ctl"].start + j] = cpair[0] * 256 + cpair[1]
+                    blk[:, L["ksl"].start + j] = kpair[0] * 256 + kpair[1]
             for rr in range(ROWS_PER_BLOCK):
                 pos = 16 * bi + rr
                 kb = ks_blk[rr]

@@ -38,7 +38,11 @@ class GcmRecordMeta:
 
 
 def walk_stream_records(stream: bytes, gcm_events: list,
-                        v13: bool) -> list[GcmRecordMeta]:
+                        v13: bool, nonce_len: int = 8
+                        ) -> list[GcmRecordMeta]:
+    """nonce_len: TLS 1.2 explicit-nonce length — 8 for AES-GCM, 0 for
+    ChaCha20-Poly1305 (RFC 7905 derives the nonce from iv ⊕ seq, no
+    explicit bytes on the wire).  Ignored for TLS 1.3."""
     tag_to_eid = {bytes(ev.tag): i for i, ev in enumerate(gcm_events)}
     out: list[GcmRecordMeta] = []
     c2s, s2c = stream_halves(stream)
@@ -58,7 +62,8 @@ def walk_stream_records(stream: bytes, gcm_events: list,
                 if v13:
                     nonce, ct, tag = b"", body[:-16], body[-16:]
                 else:
-                    nonce, ct, tag = body[:8], body[8:-16], body[-16:]
+                    nonce, ct, tag = (body[:nonce_len],
+                                      body[nonce_len:-16], body[-16:])
                 if bytes(tag) not in tag_to_eid:
                     raise ValueError("GCM record tag not among events")
                 eid = tag_to_eid[bytes(tag)]

@@ -178,6 +178,7 @@ def test_chacha_suites_chip_coverage(cert_pair):
 @pytest.mark.parametrize("kwargs,want", [
     (dict(tls12_ciphers="ECDHE-RSA-AES256-GCM-SHA384"), 0xC030),
     (dict(offered=[0x1302]), 0x1302),
+    (dict(offered=[0x1303]), 0x1303),
 ])
 def test_suite_machine_prove_roundtrip(cert_pair, kwargs, want):
     """VERDICT round-4 item #5: one full prove_machine → verify_machine

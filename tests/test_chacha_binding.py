@@ -117,19 +117,27 @@ def test_chacha13_journal_requires_binding_chips(chacha13_out):
         journal_airs(chacha13_out.journal, missing)
 
 
-def test_chacha12_stays_unbound(cert_pair):
-    """0xCCA8 (TLS 1.2 ChaCha): no record headers in the journal yet
-    (documented parser gap) — the chip set still balances and contains
-    the keystream chip but no control/data glue."""
+def test_chacha12_full_balance(cert_pair):
+    """0xCCA8 (TLS 1.2 ChaCha): the parser's nonce-less walk (cnl
+    register) + the 1.2 AAD path of the control chip bind the records
+    end to end, exactly like 0x1303."""
     gi = _record_session(cert_pair,
                          tls12_ciphers="ECDHE-RSA-CHACHA20-POLY1305")
     out = run_guest(gi, require_trust_anchor=False)
     assert out.replay.cipher_suite.id == 0xCCA8
     from zktls_tpu.guest.journal import decode_journal
+    from zktls_tpu.stark.chips.gcm_control import parse_gcm_records
 
-    assert not decode_journal(out.journal)["gcm_records"]
+    recs = parse_gcm_records(decode_journal(out.journal)["gcm_records"])
+    assert recs and all(r["cha"] and not r["v13"] for r in recs)
     chips, total = _machine_balance(out)
     names = {c.air.name for c in chips}
-    assert "ChaCha20Air" in names
-    assert "ChaChaControlAir" not in names
-    assert total == Fp4(0)
+    assert {"ChaCha20Air", "ChaChaControlAir", "ChaChaDataAir",
+            "StreamParserAir", "KeccakAir"} <= names
+    assert total == Fp4(0), "global bus imbalance"
+    for name in ("ChaChaControlAir", "StreamParserAir", "ChaChaDataAir"):
+        ci = next(c for c in chips if c.air.name == name)
+        perm = ci.air.generate_perm_trace(ci.trace, ci.publics, CHALLENGES)
+        pubs = list(ci.publics) + [int(v) for v in perm[-1, -4:]]
+        assert check_trace(ci.air, ci.trace, pubs, perm_trace=perm,
+                           challenges=CHALLENGES) == [], name

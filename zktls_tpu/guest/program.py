@@ -103,11 +103,11 @@ def _run_guest_recorded(guest_input: GuestInput, modmul_rec, *,
 
     v13 = replay.version == 0x0304
     has_gcm = bool(replay.gcm_events)
-    # ChaCha20-Poly1305 record binding covers TLS 1.3 — 0xCCA8 journals
-    # carry no record headers until the parser's nonce-less 1.2 walk
-    # lands (documented gap, stark/chips/chacha_control.py)
+    # ChaCha20-Poly1305 sessions (0x1303 and 0xCCA8) carry record
+    # headers: the parser's nonce-less walk (cnl register) + the ChaCha
+    # control/data chips bind them (stark/chips/chacha_control.py)
     cha_events = getattr(replay, "chacha_events", None) or []
-    has_cha = bool(cha_events) and v13
+    has_cha = bool(cha_events)
     has_rec = has_gcm or has_cha
     rec_events = replay.gcm_events if has_gcm else \
         (cha_events if has_cha else [])

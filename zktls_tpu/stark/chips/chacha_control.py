@@ -42,8 +42,11 @@ zkVM (SURVEY.md §3.4); here the control flow is explicit bus messages:
 Forging the plaintext therefore requires a (key, nonce) pair whose
 Poly1305 tag over the real ciphertext equals the real recorded tag — a
 MAC forgery, the same assumption the reference guest's AEAD open relies
-on.  TLS 1.2 ChaCha records (0xCCA8) are rejected in-chip (h·(1−v13));
-their binding needs the parser's nonce-less 1.2 walk — documented gap.
+on.  TLS 1.2 ChaCha records (0xCCA8) bind through the same rows: the
+stream parser's nonce-less walk (cnl region register — RFC 7905 records
+carry no explicit nonce) locates them, and the aad row reconstructs the
+1.2 AAD be64(seq) ‖ type ‖ version ‖ be16(ctlen) from the parser-proven
+record metadata.
 """
 
 from __future__ import annotations
@@ -113,6 +116,8 @@ def _build_layout() -> _Layout:
     L.add("s", 8)          # Poly1305 s limbs (LE u16)
     # --- header-local ---
     L.add("rb", 112)       # raw otk limbs 1..7 as 16 bits each
+    # --- aad-row-local (TLS 1.2) ---
+    L.add("sqb", 16)       # record sequence bits (1.2 AAD seq field)
     # --- keystream rows ---
     L.add("ctr")           # ChaCha block counter (lo; hi forced 0)
     L.add("half")
@@ -161,7 +166,7 @@ class ChaChaControlAir(Air):
             b.assert_bool(c(f))
         b.assert_bool(live)
         for name, cnt in (("clb", 16), ("l13b", 16), ("rpad", 4),
-                          ("nbb", 8), ("rb", 112), ("tc", 8)):
+                          ("nbb", 8), ("rb", 112), ("sqb", 16), ("tc", 8)):
             grp = b.local_group(L[name])
             b.assert_zero_vec(grp * (grp - 1), cnt)
         # a-limb chain carries can borrow when red = 1: ternary {−1, 0, 1}
@@ -190,7 +195,6 @@ class ChaChaControlAir(Air):
 
         # --- header row: metadata well-formedness + r clamp ---
         POW = [1 << i for i in range(16)]
-        b.assert_zero(h * (1 - c("v13")))     # TLS 1.3 only (see module doc)
         clen_v = b.dot_const(b.local_group(L["clb"]), POW)
         l13_v = b.dot_const(b.local_group(L["l13b"]), POW)
         rpad_v = b.dot_const(b.local_group(L["rpad"]), POW[:4])
@@ -224,20 +228,41 @@ class ChaChaControlAir(Air):
         for j in range(9):
             b.when_transition((pcn + pln) * (n("acc_in", j)
                                              - c("acc_out", j)))
-        # aad block (pa): 23 ‖ 03 03 ‖ be16(ctlen+16) ‖ zeros, LE pairs
+        # aad block (pa), version-switched (RFC 8446 §5.2 / RFC 5246
+        # §6.2.3.3 with RFC 7905's implicit nonce — no explicit bytes):
+        #   1.3: 23 ‖ 03 03 ‖ be16(ctlen+16) ‖ zeros
+        #   1.2: be64(seq) ‖ rtyp ‖ 03 03 ‖ be16(ctlen) ‖ zeros
         l13hi = b.dot_const(
             b.local_group(slice(L["l13b"].start + 8, L["l13b"].start + 16)),
             POW[:8])
         l13lo = b.dot_const(
             b.local_group(slice(L["l13b"].start, L["l13b"].start + 8)),
             POW[:8])
-        b.assert_zero(pa * (c("blk", 0) - 23 - 256 * 3))
-        b.assert_zero(pa * (c("blk", 1) - 3 - 256 * l13hi))
-        b.assert_zero(pa * (c("blk", 2) - l13lo))
-        for j in range(3, 8):
-            b.assert_zero(pa * c("blk", j))
-        # length block (pl): le64(5) ‖ le64(ctlen)
-        b.assert_zero(pl * (c("blk", 0) - 5))
+        lh12 = b.dot_const(
+            b.local_group(slice(L["clb"].start + 8, L["clb"].start + 16)),
+            POW[:8])
+        ll12 = b.dot_const(
+            b.local_group(slice(L["clb"].start, L["clb"].start + 8)),
+            POW[:8])
+        sq_lo = b.dot_const(
+            b.local_group(slice(L["sqb"].start, L["sqb"].start + 8)),
+            POW[:8])
+        sq_hi = b.dot_const(
+            b.local_group(slice(L["sqb"].start + 8, L["sqb"].start + 16)),
+            POW[:8])
+        v13 = c("v13")
+        b.assert_zero(pa * (c("seqv") - sq_lo - 256 * sq_hi))
+        b.assert_zero(pa * (c("blk", 0) - v13 * (23 + 256 * 3)))
+        b.assert_zero(pa * (c("blk", 1) - v13 * (3 + 256 * l13hi)))
+        b.assert_zero(pa * (c("blk", 2) - v13 * l13lo))
+        b.assert_zero(pa * (c("blk", 3)
+                            - (1 - v13) * (sq_hi + 256 * sq_lo)))
+        b.assert_zero(pa * (c("blk", 4) - (1 - v13) * (c("rtyp") + 768)))
+        b.assert_zero(pa * (c("blk", 5) - (1 - v13) * (3 + 256 * lh12)))
+        b.assert_zero(pa * (c("blk", 6) - (1 - v13) * ll12))
+        b.assert_zero(pa * c("blk", 7))
+        # length block (pl): le64(aad_len = 13 − 8·v13) ‖ le64(ctlen)
+        b.assert_zero(pl * (c("blk", 0) - 13 + 8 * v13))
         for j in (1, 2, 3, 5, 6, 7):
             b.assert_zero(pl * c("blk", j))
         b.assert_zero(pl * (c("blk", 4) - c("ctlen")))
@@ -486,9 +511,7 @@ def chacha_control_trace(events, metas, min_log_n: int = 6):
         m = meta_by_eid.get(eid)
         if m is None:
             raise ValueError(f"no record meta for ChaCha event {eid}")
-        if not getattr(m, "v13", 0):
-            raise ValueError("ChaCha record binding covers TLS 1.3 only "
-                             "(0xCCA8 is the documented parser gap)")
+        v13 = getattr(m, "v13", 0)
         ct = ev.ciphertext
         ctlen = len(ct)
         nblocks = (ctlen + 15) // 16
@@ -497,7 +520,7 @@ def chacha_control_trace(events, metas, min_log_n: int = 6):
         r_l = [(r_int >> (16 * j)) & 0xFFFF for j in range(8)]
         s_int = int.from_bytes(ev.otk[16:32], "little")
         s_l = _le16(ev.otk[16:32])
-        base = dict(eid=eid, ctlen=ctlen, nblocks=nblocks, v13=1,
+        base = dict(eid=eid, ctlen=ctlen, nblocks=nblocks, v13=v13,
                     isr=m.is_resp, seqv=m.seqno, rtyp=m.rectype,
                     key=_le16(ev.key), nb=list(ev.nonce),
                     tb=list(ev.tag), r=r_l, s=s_l)
@@ -519,14 +542,19 @@ def chacha_control_trace(events, metas, min_log_n: int = 6):
             consumed[(eid, ctr, half)] = \
                 consumed.get((eid, ctr, half), 0) + 1
         # Poly1305 accumulation rows: aad, ct blocks, lengths
-        aad = bytes([23, 3, 3]) + (ctlen + 16).to_bytes(2, "big")
-        mac_blocks = [aad + b"\x00" * 11]
+        if v13:
+            aad = bytes([23, 3, 3]) + (ctlen + 16).to_bytes(2, "big")
+        else:
+            assert m.seqno < (1 << 16)
+            aad = m.seqno.to_bytes(8, "big") + bytes([m.rectype, 3, 3]) \
+                + ctlen.to_bytes(2, "big")
+        mac_blocks = [aad + b"\x00" * (16 - len(aad))]
         padded_ct = ct + b"\x00" * (-ctlen % 16)
         mac_blocks += [padded_ct[i : i + 16]
                        for i in range(0, len(padded_ct), 16)]
         import struct
 
-        mac_blocks.append(struct.pack("<QQ", 5, ctlen))
+        mac_blocks.append(struct.pack("<QQ", len(aad), ctlen))
         acc = 0
         for i, block in enumerate(mac_blocks):
             nval = int.from_bytes(block, "little") + (1 << 128)
@@ -553,6 +581,7 @@ def chacha_control_trace(events, metas, min_log_n: int = 6):
                        al=al, blk=blk_l, ac=ac, red=red)
             if i == 0:
                 row["pa"] = 1
+                row["sqb"] = [(m.seqno >> j) & 1 for j in range(16)]
             elif i == len(mac_blocks) - 1:
                 row["pl"] = 1
                 row["bidx"] = 0
@@ -600,7 +629,8 @@ def chacha_control_trace(events, metas, min_log_n: int = 6):
                         ("s", 8)):
             for i in range(cnt):
                 trace[rr, L[nm].start + i] = row[nm][i]
-        for nm, cnt in (("rb", 112), ("ksl", 16), ("acc_in", 9),
+        for nm, cnt in (("rb", 112), ("sqb", 16), ("ksl", 16),
+                        ("acc_in", 9),
                         ("acc_out", 9), ("blk", 8), ("al", 9), ("ac", 8),
                         ("tc", 8)):
             vals = row.get(nm)

@@ -524,10 +524,10 @@ def pack_gcm_records(events, metas=None, v13: bool = False) -> bytes:
             mv13[m.eid] = getattr(m, "v13", 1 if v13 else 0)
     out = bytearray()
     for eid, ev in enumerate(events):
-        if hasattr(ev, "counter_blocks"):
-            n_blocks, cha = len(ev.counter_blocks), 0
-        else:
+        if hasattr(ev, "otk"):      # ChaChaEvent
             n_blocks, cha = (len(ev.ciphertext) + 15) // 16, 1
+        else:
+            n_blocks, cha = len(ev.counter_blocks), 0
         flags = (mv13.get(eid, 1 if v13 else 0)) \
             | (2 if resp.get(eid) else 0) | (4 * cha)
         out += eid.to_bytes(2, "big") + ev.nonce + ev.tag \

@@ -89,6 +89,11 @@ def _build_layout() -> _Layout:
     L.add("rs")        # region-start flag (64-aligned)
     L.add("obj")       # region's SHA hash-object id (register)
     L.add("v13")       # region's TLS-1.3 flag (register)
+    L.add("cnl")       # region's nonce-less-AEAD flag (register):
+    #                    1 for ChaCha20-Poly1305 sessions — TLS 1.2
+    #                    records carry no explicit nonce (RFC 7905), so
+    #                    the nonce sub-region length is 0 and the record
+    #                    body is ct ‖ tag (ctlen = rrem − 16)
     L.add("seqr")      # SHA block counter within region
     L.add("byb", 8)    # byte bits (LSB first); byte value = Σ 2^i·b_i
     L.add("lmb", 16)   # half-block limb accumulators (u16, word-major)
@@ -218,10 +223,12 @@ class StreamParserAir(Air):
         b.when_first_row(c("seqr"))
         b.assert_zero(
             tr * (n("seqr") - (1 - rs_n) * (c("seqr") + p_b63)))
-        # obj / v13 are region registers
+        # obj / v13 / cnl are region registers
         b.assert_zero(tr * (1 - rs_n) * (n("obj") - c("obj")))
         b.assert_zero(tr * (1 - rs_n) * (n("v13") - c("v13")))
         b.assert_bool(c("v13"))
+        b.assert_zero(tr * (1 - rs_n) * (n("cnl") - c("cnl")))
+        b.assert_bool(c("cnl"))
 
         # --- segment framing DFA ---
         h0, h1, h2, h3, h4, dd = (c("h0"), c("h1"), c("h2"), c("h3"),
@@ -319,8 +326,10 @@ class StreamParserAir(Air):
             # sub-region state products
             b.assert_zero(c("ict" + d) - nz * (1 - cz))
             b.assert_zero(c("itag" + d) - nz * cz * c("isg" + d))
+            # isg13 gates the 8-byte explicit nonce: present only on
+            # TLS 1.2 records of nonce-carrying ciphers (GCM, not ChaCha)
             b.assert_zero(c("isg13" + d)
-                          - c("isg" + d) * (1 - c("v13")))
+                          - c("isg" + d) * (1 - c("v13")) * (1 - c("cnl")))
             b.assert_zero(c("m23" + d) - c("isg" + d) * c("z23" + d))
             # isrb: response-byte marker — like isr but excluding the
             # final ciphertext byte of a TLS 1.3 record (the inner
@@ -568,9 +577,13 @@ def parser_sessions_from_replay(stream: bytes, gcm_events: list,
         resp_flags[eid_off + eid] = (len(ev.plaintext) > 0
                                      and ev.plaintext[-1] == 23) \
             if v13 else None
+    # ChaCha20-Poly1305 events (identified by their Poly1305 one-time
+    # key) make the session nonce-less: its TLS 1.2 records carry no
+    # explicit nonce bytes (RFC 7905)
+    cnl = 1 if (gcm_events and hasattr(gcm_events[0], "otk")) else 0
     return {"stream": bytes(stream), "events": gcm_events,
             "tag_to_eid": tag_to_eid, "resp_flags": resp_flags,
-            "v13": 1 if v13 else 0, "obj": obj}
+            "v13": 1 if v13 else 0, "cnl": cnl, "obj": obj}
 
 
 def parser_trace(sessions: list[dict], min_log_n: int = 6):
@@ -582,6 +595,7 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
     for sess in sessions:
         tape = sess["stream"]
         v13 = sess["v13"]
+        cnl = sess.get("cnl", 0)
         obj = sess["obj"]
         tag_to_eid = sess["tag_to_eid"]
         resp_flags = sess["resp_flags"]
@@ -617,6 +631,7 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
             row[L["live"].start] = 1
             row[L["obj"].start] = obj % P
             row[L["v13"].start] = v13
+            row[L["cnl"].start] = cnl
             row[L["seqr"].start] = r // 64
             for i in range(8):
                 row[L["byb"].start + i] = (by >> i) & 1
@@ -694,8 +709,9 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
                         region[r, L["e4" + suffix].start] = 1
                         st.rrem = st.rrem * 256 + by
                         if st.isg:
-                            st.ctlen = st.rrem - 24 + 8 * v13
-                            st.nrem = 8 * st.isg * (1 - v13)
+                            nlen = 0 if (v13 or cnl) else 8
+                            st.ctlen = st.rrem - 16 - nlen
+                            st.nrem = st.isg * nlen
                             st.crem = st.ctlen
                             st.trem = 16
                             # resolve eid from the record's tag bytes
@@ -780,7 +796,8 @@ def parser_trace(sessions: list[dict], min_log_n: int = 6):
                 row[L["ict" + dk].start] = nzv * (1 - czv)
                 row[L["itag" + dk].start] = nzv * czv * st.isg
                 row[L["isg" + dk].start] = st.isg
-                row[L["isg13" + dk].start] = st.isg * (1 - v13)
+                row[L["isg13" + dk].start] = (st.isg * (1 - v13)
+                                              * (1 - cnl))
                 row[L["isr" + dk].start] = st.isr
                 row[L["eid" + dk].start] = st.eid
                 row[L["ctlen" + dk].start] = st.ctlen % P
